@@ -1,0 +1,252 @@
+"""ResNet backbones in Flax (NHWC, TPU-native).
+
+Re-designs the two backbones the reference framework uses:
+
+* torchvision-style ResNet-101 (plain 7x7 stem) — the default VOC backbone
+  (reference: ori_pseudo.py:67-69 builds ``torchvision.models.resnet101()``).
+* deep-stem ResNet-101 with multi-grid dilation — the Cityscapes option
+  (reference: generalframeworks/networks/resnet.py:142-291).
+
+The reference achieves output-stride-8 by *mutating* a constructed torchvision
+model (``DeepLabv3Plus_with_rep._nostride_dilate``, deeplabv3.py:135-149).
+Here dilation is a constructor argument: each stage is described by a static
+``StageSpec`` carrying (blocks, stride, first_dilation, rest_dilation), which
+keeps the module graph static and jit-friendly.  Dilation rules reproduce the
+reference surgery exactly:
+
+* output stride 8, plain stem: layer3 stride 2->1 (first block dilation 1,
+  rest 2); layer4 stride 1 (first block dilation 2, rest 4).
+* output stride 8, deep stem + multi-grid [2,2,4]: layer4 dilations [4, 8, 16]
+  (resnet.py:246-248).
+
+Layout is NHWC and all convs use explicit torch-equivalent padding so that
+converted torchvision weights are bit-compatible in geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ResNetBackbone", "resnet101", "resnet101_stem", "StageSpec"]
+
+
+def kaiming_normal_fan_out():
+    """He-normal with fan_out, matching ``nn.init.kaiming_normal_(mode='fan_out')``."""
+    return nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+# torch kaiming_normal_ draws from an untruncated normal; use normal for parity.
+def _torch_kaiming_normal_fan_out(key, shape, dtype=jnp.float32):
+    # HWIO: fan_out = H * W * O
+    fan_out = shape[0] * shape[1] * shape[3]
+    std = (2.0 / fan_out) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm (+ optional ReLU), torch-padding semantics."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+    zero_init_scale: bool = False
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.9  # == torch momentum 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            kernel_init=_torch_kaiming_normal_fan_out,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            scale_init=nn.initializers.zeros if self.zero_init_scale else nn.initializers.ones,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck: 1x1 -> 3x3 (stride, dilation) -> 1x1 x4."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    zero_init_residual: bool = False
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        identity = x
+        out = ConvBN(self.planes, 1, 1, 1, relu=True, name="conv1", **kw)(x, train)
+        out = ConvBN(self.planes, 3, self.stride, self.dilation, relu=True, name="conv2", **kw)(out, train)
+        out = ConvBN(
+            self.planes * 4, 1, 1, 1, relu=False,
+            zero_init_scale=self.zero_init_residual, name="conv3", **kw,
+        )(out, train)
+        if self.has_downsample:
+            identity = ConvBN(
+                self.planes * 4, 1, self.stride, 1, relu=False, name="downsample", **kw
+            )(x, train)
+        return nn.relu(out + identity)
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    planes: int
+    blocks: int
+    stride: int
+    first_dilation: int
+    rest_dilation: int
+
+
+def _max_pool_3x3_s2(x, ceil_mode: bool = False):
+    """3x3/2 max pool with torch padding=1 (optionally ceil_mode)."""
+    h, w = x.shape[1], x.shape[2]
+    pad_h = [1, 1]
+    pad_w = [1, 1]
+    if ceil_mode:
+        # torch ceil_mode: add extra right/bottom padding so the last window
+        # starting inside the (padded) input is included.
+        if (h + 2 - 3) % 2 != 0:
+            pad_h[1] += 1
+        if (w + 2 - 3) % 2 != 0:
+            pad_w[1] += 1
+    return nn.max_pool(
+        x, (3, 3), strides=(2, 2), padding=(tuple(pad_h), tuple(pad_w))
+    )
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet trunk returning (low_level /4 features, final features).
+
+    ``deep_stem=False`` mirrors torchvision resnet101; ``deep_stem=True``
+    mirrors the reference ``ResNet_Stem`` (three 3x3 convs to 128ch,
+    ceil-mode max pool, zero-init residual BNs — resnet.py:177-185,218-223).
+    """
+
+    stages: Tuple[StageSpec, ...]
+    deep_stem: bool = False
+    zero_init_residual: bool = False
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        if self.deep_stem:
+            x = ConvBN(64, 3, 2, relu=True, name="stem1", **kw)(x, train)
+            x = ConvBN(64, 3, 1, relu=True, name="stem2", **kw)(x, train)
+            # third stem conv's BN is the reference's separate ``bn1``
+            x = ConvBN(128, 3, 1, relu=True, name="stem3", **kw)(x, train)
+            x = _max_pool_3x3_s2(x, ceil_mode=True)
+        else:
+            x = ConvBN(64, 7, 2, relu=True, name="stem", **kw)(x, train)
+            x = _max_pool_3x3_s2(x, ceil_mode=False)
+
+        low_level = None
+        in_planes = 128 if self.deep_stem else 64
+        for si, spec in enumerate(self.stages):
+            for bi in range(spec.blocks):
+                first = bi == 0
+                x = Bottleneck(
+                    planes=spec.planes,
+                    stride=spec.stride if first else 1,
+                    dilation=spec.first_dilation if first else spec.rest_dilation,
+                    has_downsample=first and (spec.stride != 1 or in_planes != spec.planes * 4),
+                    zero_init_residual=self.zero_init_residual,
+                    name=f"layer{si + 1}_{bi}",
+                    **kw,
+                )(x, train)
+                in_planes = spec.planes * 4
+            if si == 0:
+                low_level = x
+        return low_level, x
+
+
+def _stage_specs(layers: Sequence[int], output_stride: int, multi_grid: bool) -> Tuple[StageSpec, ...]:
+    """Stage dilation/stride schedule reproducing the reference surgery.
+
+    OS8 plain: deeplabv3.py:93-96 + _nostride_dilate (:135-149).
+    OS8 deep-stem multi-grid: resnet.py:230-268 (grids [2,2,4] in layer4).
+    """
+    l1, l2, l3, l4 = layers
+    if output_stride == 8:
+        if multi_grid:
+            # deep-stem path: replace_stride_with_dilation=[False, True, True]
+            # layer4 first dilation = prev_dil(2) * grid(2) = 4; rest 4*[2,4]
+            # StageSpec only supports one "rest" dilation, so expand layer4
+            # into per-block stages below via rest_dilation list.
+            return (
+                StageSpec(64, l1, 1, 1, 1),
+                StageSpec(128, l2, 2, 1, 1),
+                StageSpec(256, l3, 1, 1, 2),
+                # represented as three single-block stages to carry [4, 8, 16]
+                StageSpec(512, 1, 1, 4, 4),
+                StageSpec(512, 1, 1, 8, 8),
+                StageSpec(512, 1, 1, 16, 16),
+            )
+        return (
+            StageSpec(64, l1, 1, 1, 1),
+            StageSpec(128, l2, 2, 1, 1),
+            StageSpec(256, l3, 1, 1, 2),
+            StageSpec(512, l4, 1, 2, 4),
+        )
+    if output_stride == 16:
+        return (
+            StageSpec(64, l1, 1, 1, 1),
+            StageSpec(128, l2, 2, 1, 1),
+            StageSpec(256, l3, 2, 1, 1),
+            StageSpec(512, l4, 1, 1, 2),
+        )
+    raise ValueError(f"unsupported output_stride {output_stride}")
+
+
+def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
+              axis_name: Optional[str] = None) -> ResNetBackbone:
+    """Plain-stem ResNet-101 trunk (torchvision weight-compatible)."""
+    return ResNetBackbone(
+        stages=_stage_specs([3, 4, 23, 3], output_stride, multi_grid=False),
+        deep_stem=False,
+        zero_init_residual=False,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+
+
+def resnet101_stem(output_stride: int = 8, dtype: Any = jnp.float32,
+                   axis_name: Optional[str] = None) -> ResNetBackbone:
+    """Deep-stem multi-grid ResNet-101 trunk (reference ResNet_Stem)."""
+    return ResNetBackbone(
+        stages=_stage_specs([3, 4, 23, 3], output_stride, multi_grid=True),
+        deep_stem=True,
+        zero_init_residual=True,
+        dtype=dtype,
+        axis_name=axis_name,
+    )

@@ -1,0 +1,176 @@
+"""Numerical parity of the Flax DeepLabV3+ dual-head model vs a torch golden.
+
+The golden model is assembled here from torchvision parts: torchvision's
+``replace_stride_with_dilation=[False, True, True]`` produces exactly the
+output-stride-8 dilation schedule the reference reaches by post-hoc conv
+surgery (layer3 first-block dilation 1 / rest 2, layer4 first 2 / rest 4).
+State-dict key layout intentionally mirrors the reference model so the
+production converter is exercised end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from css_tpu.models.convert import convert_full_model
+from css_tpu.models.deeplabv3 import build_model
+
+
+class TorchBottleneck(nn.Module):
+    """torchvision-style bottleneck (stride/dilation on conv2)."""
+
+    def __init__(self, cin, planes, stride=1, dilation=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=dilation,
+                               dilation=dilation, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + idt)
+
+
+def _torch_layer(cin, planes, blocks, stride, first_dilation, rest_dilation):
+    downsample = None
+    if stride != 1 or cin != planes * 4:
+        downsample = nn.Sequential(
+            nn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+            nn.BatchNorm2d(planes * 4),
+        )
+    layers = [TorchBottleneck(cin, planes, stride, first_dilation, downsample)]
+    for _ in range(blocks - 1):
+        layers.append(TorchBottleneck(planes * 4, planes, 1, rest_dilation))
+    return nn.Sequential(*layers)
+
+
+class TorchResNet101OS8(nn.Module):
+    """ResNet-101 with replace_stride_with_dilation=[False, True, True]:
+    layer3 dilations [1, 2...], layer4 [2, 4, 4] — identical to the reference
+    output-stride-8 surgery (deeplabv3.py:93-96,135-149)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = _torch_layer(64, 64, 3, 1, 1, 1)
+        self.layer2 = _torch_layer(256, 128, 4, 2, 1, 1)
+        self.layer3 = _torch_layer(512, 256, 23, 1, 1, 2)
+        self.layer4 = _torch_layer(1024, 512, 3, 1, 2, 4)
+
+
+class TorchGoldenDual(nn.Module):
+    def __init__(self, num_classes=21, output_dim=32):
+        super().__init__()
+        rn = TorchResNet101OS8()
+        self.resnet_conv1 = rn.conv1
+        self.resnet_bn1 = rn.bn1
+        self.resnet_maxpool = rn.maxpool
+        self.resnet_layer1 = rn.layer1
+        self.resnet_layer2 = rn.layer2
+        self.resnet_layer3 = rn.layer3
+        self.resnet_layer4 = rn.layer4
+
+        def conv_bn_relu(cin, cout, k, dilation=1):
+            pad = dilation * (k - 1) // 2
+            return nn.Sequential(
+                nn.Conv2d(cin, cout, k, padding=pad, dilation=dilation, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU(),
+            )
+
+        class _Pooling(nn.Sequential):
+            def __init__(self):
+                super().__init__(
+                    nn.AdaptiveAvgPool2d(1),
+                    nn.Conv2d(2048, 256, 1, bias=False),
+                    nn.BatchNorm2d(256),
+                    nn.ReLU(),
+                )
+
+            def forward(self, x):
+                size = x.shape[-2:]
+                y = super().forward(x)
+                return F.interpolate(y, size=size, mode="bilinear", align_corners=False)
+
+        class _ASPP(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.convs = nn.ModuleList(
+                    [
+                        conv_bn_relu(2048, 256, 1),
+                        conv_bn_relu(2048, 256, 3, 12),
+                        conv_bn_relu(2048, 256, 3, 24),
+                        conv_bn_relu(2048, 256, 3, 36),
+                        _Pooling(),
+                    ]
+                )
+                self.project = conv_bn_relu(5 * 256, 256, 1)
+
+            def forward(self, x):
+                return self.project(torch.cat([c(x) for c in self.convs], dim=1))
+
+        self.ASPP = _ASPP()
+        self.project = conv_bn_relu(256, 48, 1)
+
+        def head(out):
+            return nn.Sequential(
+                nn.Conv2d(304, 256, 3, padding=1, bias=False),
+                nn.BatchNorm2d(256),
+                nn.ReLU(),
+                nn.Conv2d(256, out, 1),
+            )
+
+        self.classifier = head(num_classes)
+        self.representation = head(output_dim)
+
+    def forward(self, x):
+        x = self.resnet_maxpool(F.relu(self.resnet_bn1(self.resnet_conv1(x))))
+        low = self.resnet_layer1(x)
+        x = self.resnet_layer4(self.resnet_layer3(self.resnet_layer2(low)))
+        feat = self.ASPP(x)
+        low = self.project(low)
+        feat = F.interpolate(feat, size=low.shape[2:], mode="bilinear", align_corners=True)
+        dec = torch.cat([low, feat], dim=1)
+        return self.classifier(dec), self.representation(dec)
+
+
+@pytest.mark.slow
+def test_deeplab_dual_parity():
+    torch.manual_seed(0)
+    golden = TorchGoldenDual(num_classes=21, output_dim=32).eval()
+    # randomize BN running stats so the test doesn't pass trivially
+    with torch.no_grad():
+        for m in golden.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    model = build_model(num_classes=21, output_dim=32, backbone="resnet101")
+    params, batch_stats = convert_full_model(sd, model)
+
+    x = np.random.default_rng(0).standard_normal((1, 65, 65, 3)).astype(np.float32)
+    pred, rep = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x), train=False
+    )
+    with torch.no_grad():
+        tpred, trep = golden(torch.from_numpy(x).permute(0, 3, 1, 2))
+    tpred = tpred.permute(0, 2, 3, 1).numpy()
+    trep = trep.permute(0, 2, 3, 1).numpy()
+
+    assert pred.shape == tpred.shape  # (1, 17, 17, 21): /4 resolution
+    np.testing.assert_allclose(np.asarray(pred), tpred, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(rep), trep, atol=2e-3, rtol=1e-3)
