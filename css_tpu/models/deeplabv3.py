@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from css_tpu.models.aspp import ASPP
-from css_tpu.models.resnet import ConvBN, ResNetBackbone, resnet101, resnet101_stem
+from css_tpu.models.resnet import (
+    ConvBN,
+    ResNetBackbone,
+    resnet101,
+    resnet101_stem,
+    resnet_tiny,
+)
 from css_tpu.ops.interpolate import bilinear_resize
 
 __all__ = ["DeepLabV3PlusDual", "build_model"]
@@ -116,6 +122,8 @@ def build_model(
         trunk = resnet101(output_stride, dtype=dtype, axis_name=axis_name)
     elif backbone == "resnet101_stem":
         trunk = resnet101_stem(output_stride, dtype=dtype, axis_name=axis_name)
+    elif backbone == "tiny":
+        trunk = resnet_tiny(output_stride, dtype=dtype, axis_name=axis_name)
     else:
         raise ValueError(f"unknown backbone {backbone}")
     return DeepLabV3PlusDual(

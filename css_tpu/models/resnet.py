@@ -240,6 +240,24 @@ def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
     )
 
 
+def resnet_tiny(output_stride: int = 8, dtype: Any = jnp.float32,
+                axis_name: Optional[str] = None) -> ResNetBackbone:
+    """Miniature trunk (1 block/stage, narrow) for tests and dry runs."""
+    if output_stride != 8:
+        raise ValueError("tiny trunk only supports OS8")
+    return ResNetBackbone(
+        stages=(
+            StageSpec(8, 1, 1, 1, 1),
+            StageSpec(16, 1, 2, 1, 1),
+            StageSpec(32, 1, 1, 1, 2),
+            StageSpec(64, 1, 1, 2, 4),
+        ),
+        deep_stem=False,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+
+
 def resnet101_stem(output_stride: int = 8, dtype: Any = jnp.float32,
                    axis_name: Optional[str] = None) -> ResNetBackbone:
     """Deep-stem multi-grid ResNet-101 trunk (reference ResNet_Stem)."""

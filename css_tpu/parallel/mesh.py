@@ -1,0 +1,84 @@
+"""Device-mesh data parallelism (the TPU-native replacement for L0).
+
+The reference's distributed runtime (util/dist_init.py, NCCL process group +
+DDP gradient all-reduce + SyncBatchNorm + manual ``concat_all_gather``)
+becomes: a 1-D ``jax.sharding.Mesh`` over the ``data`` axis, a
+``shard_map``-wrapped train step whose collectives (grad ``pmean``, BN-stat
+``psum``, prototype ``psum``, mixing-partner broadcast) compile to XLA's
+collective runtime over ICI/DCN, and ``jax.distributed.initialize`` for
+multi-host (the analog of the reference's unused SLURM path,
+util/dist_init.py:1-31).
+
+The reference's always-on debug toggles (``TORCH_DISTRIBUTED_DEBUG=DETAIL``,
+``detect_anomaly`` — dist_init.py:40-44) have no analog cost here; JAX debug
+nan-checking can be enabled explicitly via ``debug_nans=True``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+__all__ = ["DATA_AXIS", "data_mesh", "distributed_init", "shard_batch",
+           "sharded_train_step"]
+
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     debug_nans: bool = False) -> None:
+    """Multi-host runtime init (no-op for single-host).
+
+    Mirrors the roles of the reference's ``dist_init``/``local_dist_init``:
+    with explicit args or the standard cluster env vars it calls
+    ``jax.distributed.initialize``; single-host callers need nothing.
+    """
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if coordinator or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator or os.environ["COORDINATOR_ADDRESS"],
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def data_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the ``data`` axis."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place host arrays with the batch axis sharded over ``data``."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def sharded_train_step(step_fn, mesh: Mesh):
+    """Wrap a per-shard train step with shard_map + jit.
+
+    ``step_fn(state, batch, rng, contrast_weight, use_rep_labels)`` runs with
+    the batch sharded over ``data`` and everything else replicated; the
+    returned state/metrics are replicated (grad pmean inside guarantees the
+    replicas agree).
+    """
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), {k: P(DATA_AXIS) for k in
+                        ("l_image", "l_label", "l_valid_hw", "u_image",
+                         "u_valid_hw")}, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))

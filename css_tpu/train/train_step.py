@@ -1,0 +1,335 @@
+"""The jit-compiled semi-supervised train step (ori / mix / cross strategies).
+
+One pure function replaces the reference's hot loop — model wrapper forward
+(networks/ddp_model.py), in-forward PIL augmentation (VOC.py:276-352),
+NCCL-gathered mixing (VOC.py:354-477), loss composition (ori_pseudo.py:
+162-189, mix_label.py:166-197, cross_label.py:166-201), DDP backward, SGD
+step, EMA update and the global-prototype side effect — with this dataflow,
+entirely on device under a single jit/shard_map:
+
+  device augment labeled batch -> teacher pseudo-labels (logit and/or
+  representation space) -> device augment + cross-replica mix unlabeled
+  batch -> student forward on both -> sup / unsup / contrastive losses ->
+  psum-mean gradients -> SGD(nesterov, poly LR) -> teacher EMA -> new state.
+
+Strategy differences (SURVEY.md section 3):
+  * ``ori``   — logit-space pseudo-labels only (ddp_model.py:32-70);
+  * ``mix``   — collaborative labels: keep pixels where logit- and rep-space
+    (cosine-to-prototype) labels agree, others ignored
+    (ddp_model.py:99-156); the contrastive "probability" driving hard-anchor
+    mining is the rep-space softmax;
+  * ``cross`` — both label spaces kept; the unsupervised loss target switches
+    from logit- to rep-space labels after a warmup (cross_label.py:172-175),
+    selected by a traced flag so no recompilation at the switch.
+
+Parallelism: pure data parallelism over a 1-D ``data`` mesh axis — gradient
+``pmean``, BatchNorm cross-replica stats (SyncBatchNorm equivalent),
+O(C*D) prototype psum, and the rank-0-broadcast mixing partner; see
+css_tpu/parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from css_tpu.losses.contrastive import prototype_contrastive_loss
+from css_tpu.losses.cross_entropy import cross_entropy, ohem_cross_entropy
+from css_tpu.losses.threshold import attention_threshold_loss
+from css_tpu.ops.augment import batch_transform, normalize_imagenet
+from css_tpu.ops.interpolate import bilinear_resize, nearest_resize
+from css_tpu.ops.mixing import mix_batch
+from css_tpu.ops.onehot import label_onehot, label_onehot_ignore
+from css_tpu.train.state import TrainState, ema_update
+
+__all__ = ["StepConfig", "make_train_step", "make_eval_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static hyper-parameters of the train step (hashable -> jit static)."""
+
+    num_classes: int
+    crop_hw: Tuple[int, int]
+    scale_range: Tuple[float, float]          # labeled & pseudo-label scale
+    strategy: str = "ori"                     # ori | mix | cross
+    mix_mode: str = "cutmix"                  # none | cutout | cutmix | classmix
+    mix_partner: str = "reference"            # reference | ring
+    sup_loss: str = "ce"                      # ce | ohem
+    ohem_thresh: float = 0.7
+    ohem_min_kept_per_image: int = 50000      # ori_pseudo.py:79
+    un_threshold: float = 0.97
+    weak_threshold: float = 0.7
+    strong_threshold: float = 0.97
+    temp: float = 0.5                         # contrastive temperature
+    rep_temp: float = 0.5                     # rep-space pseudo-label temp
+    num_queries: int = 256
+    num_negatives: int = 512
+    proto_alpha: float = 0.99
+    ema_alpha: float = 0.99
+
+
+def _remap_ignore(labels: jax.Array, num_classes: int) -> jax.Array:
+    """255 (and any out-of-range) -> -1, reference VOC.py:115."""
+    return jnp.where((labels >= 0) & (labels < num_classes), labels, -1)
+
+
+def _rep_space_probs(rep: jax.Array, prototypes: jax.Array, temp: float):
+    """softmax(cos-sim(rep, prototypes)/temp) over classes.
+
+    Returns (similarity logits [B,h,w,C], softmax probs).  Mirrors
+    ddp_model.py:104-112,147-155.
+    """
+    rep_n = rep * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(rep * rep, axis=-1, keepdims=True), 1e-12)
+    )
+    proto_n = prototypes * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(prototypes * prototypes, axis=-1, keepdims=True), 1e-12)
+    )
+    sim = jnp.einsum("bhwd,cd->bhwc", rep_n, proto_n,
+                     preferred_element_type=jnp.float32)
+    return sim
+
+
+def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None):
+    """Build ``step(state, batch, rng, contrast_weight, use_rep_labels)``.
+
+    ``batch`` keys: ``l_image`` [B,H,W,3] float raw [0,1], ``l_label``
+    [B,H,W] int32 (255=ignore ok), ``l_valid_hw`` [B,2], ``u_image``
+    [B,Hu,Wu,3], ``u_valid_hw`` [B,2].  ``contrast_weight`` is the ramp value
+    (1.0 for ori — the reference constructs but never applies the ramp there,
+    ori_pseudo.py:114-119,183). ``use_rep_labels`` only matters for cross.
+    """
+    ch, cw = cfg.crop_hw
+    c = cfg.num_classes
+
+    def teacher_apply(params, stats, img, train=True):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": stats}, img, train=train,
+            mutable=["batch_stats"],
+        )
+        return out, upd["batch_stats"]
+
+    def pseudo_label_phase(state, l_img, u_img01, rng):
+        """No-grad teacher + augmentation pipeline.  Returns the augmented,
+        normalized unlabeled batch, its labels/conf maps, and updated teacher
+        batch stats."""
+        k_t, k_mix, k_aug2 = jax.random.split(rng, 3)
+        ema_stats = state.ema_batch_stats
+        u_img = normalize_imagenet(u_img01)
+
+        if cfg.strategy == "ori":
+            (pred_u_t, _), ema_stats = teacher_apply(state.ema_params, ema_stats, u_img)
+            pred_large = bilinear_resize(pred_u_t, (ch, cw), align_corners=True)
+            probs = jax.nn.softmax(pred_large, axis=-1)
+            conf_cls = jnp.max(probs, axis=-1)
+            lab_cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            labels = lab_cls[:, None]                       # [B,1,H,W]
+            confs = conf_cls[:, None]                       # [B,1,H,W]
+        else:
+            # teacher sees labeled then unlabeled (ddp_model.py:102-103)
+            (_, _), ema_stats = teacher_apply(state.ema_params, ema_stats, l_img)
+            (pred_u_t, rep_u_t), ema_stats = teacher_apply(
+                state.ema_params, ema_stats, u_img
+            )
+            sim = _rep_space_probs(rep_u_t, state.prototypes, cfg.rep_temp)
+            sim_large = bilinear_resize(sim, (ch, cw), align_corners=True)
+            rep_probs = jax.nn.softmax(sim_large / cfg.rep_temp, axis=-1)
+            conf_rep = jnp.max(rep_probs, axis=-1)
+            lab_rep = jnp.argmax(rep_probs, axis=-1).astype(jnp.int32)
+
+            pred_large = bilinear_resize(pred_u_t, (ch, cw), align_corners=True)
+            probs = jax.nn.softmax(pred_large, axis=-1)
+            conf_cls = jnp.max(probs, axis=-1)
+            lab_cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+            if cfg.strategy == "mix":
+                # collaboration: disagreeing pixels -> ignore (ddp_model.py:115-118)
+                agreed = jnp.where(lab_cls == lab_rep, lab_cls, -1)
+                labels = agreed[:, None]
+                confs = jnp.stack([conf_cls, conf_rep], axis=1)
+            else:  # cross: both label spaces survive (ddp_model.py:202)
+                labels = jnp.stack([lab_cls, lab_rep], axis=1)
+                confs = jnp.stack([conf_cls, conf_rep], axis=1)
+
+        full_hw = jnp.broadcast_to(
+            jnp.asarray([ch, cw], jnp.int32), (u_img01.shape[0], 2)
+        )
+        # scale/pad/crop at the config scale, photometrics off (ddp_model.py:40-44)
+        img01, labels, confs = batch_transform(
+            jax.random.fold_in(k_t, 1), u_img01, labels, confs, full_hw,
+            crop_hw=(ch, cw), scale_range=cfg.scale_range, augmentation=False,
+        )
+        # cross-replica mixing (ddp_model.py:46-50)
+        img01, labels, confs = mix_batch(
+            k_mix, img01, labels, confs, mode=cfg.mix_mode, num_classes=c,
+            axis_name=axis_name, partner=cfg.mix_partner,
+        )
+        # photometrics + flip at identity geometry (ddp_model.py:52-57)
+        img01, labels, confs = batch_transform(
+            k_aug2, img01, labels, confs, full_hw,
+            crop_hw=(ch, cw), scale_range=(1.0, 1.0), augmentation=True,
+        )
+        return normalize_imagenet(img01), labels, confs, ema_stats
+
+    def sup_loss_fn(pred_large, label):
+        if cfg.sup_loss == "ohem":
+            min_kept = cfg.ohem_min_kept_per_image * pred_large.shape[0]
+            return ohem_cross_entropy(pred_large, label, cfg.ohem_thresh, min_kept)
+        return cross_entropy(pred_large, label)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
+             contrast_weight: jax.Array, use_rep_labels: jax.Array):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        k_laug, k_ucrop, k_teacher, k_contrast = jax.random.split(rng, 4)
+
+        # ---- device-side labeled augmentation (reference: host dataloader) ----
+        bl = batch["l_image"].shape[0]
+        l_lab_canvas = _remap_ignore(batch["l_label"], c)
+        l_img01, l_labels, _ = batch_transform(
+            k_laug, batch["l_image"], l_lab_canvas[:, None],
+            jnp.zeros((bl, 1) + batch["l_image"].shape[1:3], jnp.float32),
+            batch["l_valid_hw"], crop_hw=(ch, cw), scale_range=cfg.scale_range,
+            augmentation=True,
+        )
+        l_img = normalize_imagenet(l_img01)
+        l_label = l_labels[:, 0]
+
+        # ---- unlabeled base crop (reference: unlabeled loader, scale (1,1)) ----
+        bu = batch["u_image"].shape[0]
+        u_img01, _, _ = batch_transform(
+            k_ucrop, batch["u_image"],
+            jnp.zeros((bu, 1) + batch["u_image"].shape[1:3], jnp.int32),
+            jnp.zeros((bu, 1) + batch["u_image"].shape[1:3], jnp.float32),
+            batch["u_valid_hw"], crop_hw=(ch, cw), scale_range=(1.0, 1.0),
+            augmentation=False,
+        )
+
+        u_img, u_labels, u_confs, ema_stats = pseudo_label_phase(
+            state, l_img, u_img01, k_teacher
+        )
+
+        if cfg.strategy == "cross":
+            unsup_label = jnp.where(use_rep_labels, u_labels[:, 1], u_labels[:, 0])
+            unsup_conf = jnp.where(use_rep_labels, u_confs[:, 1], u_confs[:, 0])
+        else:
+            unsup_label = u_labels[:, 0]
+            unsup_conf = u_confs[:, 0]
+        conf_cls = u_confs[:, 0]
+
+        # ---- contrastive-loss inputs at rep resolution (ori_pseudo.py:170-180) ----
+        h4, w4 = ch // 4, cw // 4
+
+        def to_rep_res(x):
+            return nearest_resize(x, (h4, w4), convention="torch")
+
+        l_small = to_rep_res(l_label)
+        mask_l = to_rep_res((l_label >= 0).astype(jnp.float32))
+        mask_u = to_rep_res((conf_cls >= cfg.weak_threshold).astype(jnp.float32))
+        if cfg.strategy == "mix":
+            # label_onehot_2 + slice: ignore stays all-zero (mix_label.py:181-182)
+            oh_u = label_onehot_ignore(to_rep_res(u_labels[:, 0]), c)
+        else:
+            oh_u = label_onehot(to_rep_res(u_labels[:, 0]), c)
+        oh_l = label_onehot(l_small, c)
+        label_all = jnp.concatenate([oh_l, oh_u])
+        mask_all = jnp.concatenate([mask_l, mask_u])
+
+        def loss_fn(params):
+            stats = state.batch_stats
+            (pred_l, rep_l), upd = model.apply(
+                {"params": params, "batch_stats": stats}, l_img, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = upd["batch_stats"]
+            (pred_u, rep_u), upd = model.apply(
+                {"params": params, "batch_stats": stats}, u_img, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = upd["batch_stats"]
+
+            pred_l_large = bilinear_resize(pred_l, (ch, cw), align_corners=True)
+            pred_u_large = bilinear_resize(pred_u, (ch, cw), align_corners=True)
+
+            sup = sup_loss_fn(pred_l_large, l_label)
+            unsup = attention_threshold_loss(
+                pred_u_large, unsup_label, unsup_conf, cfg.un_threshold
+            )
+
+            rep_all = jnp.concatenate([rep_l, rep_u])
+            if cfg.strategy == "ori":
+                prob_all = jax.nn.softmax(
+                    jax.lax.stop_gradient(jnp.concatenate([pred_l, pred_u])), axis=-1
+                )
+            else:
+                sim = _rep_space_probs(
+                    jax.lax.stop_gradient(rep_all), state.prototypes, cfg.rep_temp
+                )
+                prob_all = jax.nn.softmax(sim / cfg.rep_temp, axis=-1)
+
+            contrast, new_protos = prototype_contrastive_loss(
+                rep_all, label_all, mask_all, prob_all, state.prototypes,
+                k_contrast,
+                num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
+                temp=cfg.temp, strong_threshold=cfg.strong_threshold,
+                alpha=cfg.proto_alpha, axis_name=axis_name,
+            )
+            total = sup + unsup + contrast * contrast_weight
+            aux = dict(stats=stats, protos=new_protos, sup=sup, unsup=unsup,
+                       contrast=contrast)
+            return total, aux
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_ema = ema_update(params=params, ema_params=state.ema_params,
+                             step=state.step, alpha=cfg.ema_alpha)
+
+        metrics = dict(total=total, sup=aux["sup"], unsup=aux["unsup"],
+                       contrast=aux["contrast"])
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=aux["stats"],
+            ema_params=new_ema,
+            ema_batch_stats=ema_stats,
+            opt_state=opt_state,
+            prototypes=aux["protos"],
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, num_classes: int):
+    """Confusion-matrix accumulation step over the EMA teacher in eval mode.
+
+    The reference evaluates the *teacher* (ori_pseudo.py:129,191-211).
+    ``valid`` masks padded batch entries so the last partial batch is exact.
+    Returns an update of the [C, C] int32 confusion matrix; rows = target,
+    cols = prediction (util/meter.py:40-48).
+    """
+
+    def eval_step(params, batch_stats, conf_mat, image, label, valid):
+        pred, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, image, train=False
+        )
+        pred = bilinear_resize(pred, label.shape[1:3], align_corners=True)
+        yhat = jnp.argmax(pred, axis=-1)
+        ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
+        idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
+        binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
+        return conf_mat + binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
+
+    return eval_step
