@@ -1,0 +1,316 @@
+"""Shared training driver behind the three strategy CLIs.
+
+Maps the reference entry scripts' control flow (ori_pseudo.py / mix_label.py /
+cross_label.py ``main``/``train``/``test``) onto the TPU runtime: one process
+drives all local devices through a shard_map'd train step — no
+``mp.spawn``, no per-rank processes; multi-host runs launch one such process
+per host (jax.distributed).
+
+Strategy-specific behaviors preserved:
+  * ori:   eval every epoch; contrast weight fixed at 1 (the ramp scheduler is
+           constructed but unused in the reference, ori_pseudo.py:114-119,183);
+  * mix:   ramped contrast weight (``--sche``), sparse eval (every 20 epochs
+           or the last 50, mix_label.py:130);
+  * cross: warmup switch of the unsupervised target (cross_label.py:172-175),
+           ``--prototypes_resume``, ramped contrast weight.
+
+The teacher (EMA) network is evaluated, not the student (ori_pseudo.py:129);
+eval is sharded across devices (the reference redundantly evaluates the full
+val set on every rank — SURVEY.md section 3.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from css_tpu.config import dump_config, load_config
+from css_tpu.data import BatchLoader, InfiniteLoader, build_dataset_specs, read_split_lists
+from css_tpu.models import build_model
+from css_tpu.models.convert import convert_resnet_backbone, load_torch_state_dict
+from css_tpu.ops.augment import batch_transform
+from css_tpu.parallel import DATA_AXIS, data_mesh, shard_batch, sharded_train_step
+from css_tpu.train.checkpoint import load_prototypes, restore_checkpoint, save_checkpoint
+from css_tpu.train.schedulers import rampdown_value
+from css_tpu.train.state import create_train_state, make_optimizer
+from css_tpu.train.train_step import StepConfig, make_eval_step, make_train_step
+from css_tpu.utils import ConfusionMatrix, Logger
+from css_tpu.utils.profiling import StepTimer, maybe_profile
+
+__all__ = ["run_training", "add_common_args"]
+
+
+def add_common_args(parser, default_job: str):
+    parser.add_argument("--config", type=str,
+                        default="css_tpu/config/VOC_config_baseline.yaml")
+    parser.add_argument("--resume", type=str, default="")
+    parser.add_argument("--num_labels", type=int, default=92)
+    parser.add_argument("--total_iter", type=int, default=80000)
+    parser.add_argument("--job_name", type=str, default=default_job)
+    # hyperparameter shadows (mix/cross CLI defaults in the reference)
+    parser.add_argument("--strong_threshold", type=float, default=None)
+    parser.add_argument("--weak_threshold", type=float, default=None)
+    parser.add_argument("--un_threshold", type=float, default=None)
+    parser.add_argument("--temp", type=float, default=None)
+    parser.add_argument("--sche", type=lambda s: s.lower() != "false", default=True)
+    # runtime
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--txt_dir", type=str, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic data (no dataset required)")
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="hard cap on optimizer steps (debug/smoke)")
+    return parser
+
+
+def _build_state_and_steps(cfg, args, strategy, mesh):
+    num_classes = cfg.require("Network.num_class")
+    output_dim = cfg.get("Network.output_dim", 256)
+    crop = tuple(cfg.require("Dataset.crop_size"))
+    scale = tuple(cfg.require("Dataset.scale_size"))
+
+    model = build_model(
+        num_classes=num_classes,
+        output_dim=output_dim,
+        backbone=cfg.get("Network.backbone", "resnet101"),
+        axis_name=DATA_AXIS,
+    )
+    tx = make_optimizer(
+        base_lr=float(cfg.require("Optim.lr")),
+        weight_decay=float(cfg.require("Optim.weight_decay")),
+        total_steps=args.total_iter,
+        power=float(cfg.get("Lr_Scheduler.power", 0.9)),
+        min_lr=float(cfg.get("Lr_Scheduler.min_lr", 1e-4)),
+    )
+
+    pretrained = None
+    ckpt_path = cfg.get("Network.pretrained", "./pretrained/resnet101.pth")
+    if ckpt_path and os.path.exists(ckpt_path):
+        sd = load_torch_state_dict(ckpt_path)
+        pretrained = convert_resnet_backbone(sd, model.backbone)
+
+    state = create_train_state(
+        jax.random.key(cfg.get("Seed", 3407)), model, tx,
+        (1, crop[0], crop[1], 3), num_classes=num_classes,
+        output_dim=output_dim, pretrained_backbone=pretrained,
+    )
+
+    step_cfg = StepConfig(
+        num_classes=num_classes,
+        crop_hw=crop,
+        scale_range=scale,
+        strategy=strategy,
+        mix_mode=cfg.get("Dataset.mix_mode", "cutmix"),
+        mix_partner=cfg.get("Distributed.mix_partner", "reference"),
+        sup_loss=cfg.get("Loss.sup_loss",
+                         "ohem" if cfg.get("Dataset.name") == "CityScapes" else "ce"),
+        ohem_thresh=cfg.get("Loss.ohem_thresh", 0.7),
+        ohem_min_kept_per_image=cfg.get("Loss.ohem_min_kept_per_image", 50000),
+        un_threshold=cfg.get("Loss.un_threshold", 0.97),
+        weak_threshold=cfg.get("Loss.weak_threshold", 0.7),
+        strong_threshold=cfg.get("Loss.strong_threshold", 0.97),
+        temp=cfg.get("Loss.temp", 0.5),
+        rep_temp=cfg.get("Loss.rep_temp", cfg.get("Loss.temp", 0.5)),
+        num_queries=cfg.get("Loss.num_queries", 256),
+        num_negatives=cfg.get("Loss.num_negatives", 512),
+        proto_alpha=cfg.get("Loss.alpha", 0.99),
+        ema_alpha=cfg.get("EMA.alpha", 0.99),
+    )
+    train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
+    eval_step = jax.jit(make_eval_step(model, num_classes))
+    return model, state, step_cfg, train_step, eval_step
+
+
+def _apply_cli_shadows(cfg, args, strategy):
+    """mix/cross read thresholds from CLI; ori from YAML (SURVEY.md #20)."""
+    if strategy in ("mix", "cross"):
+        cfg.set("Loss.strong_threshold",
+                args.strong_threshold if args.strong_threshold is not None else 0.8)
+        cfg.set("Loss.weak_threshold",
+                args.weak_threshold if args.weak_threshold is not None else 0.7)
+        cfg.set("Loss.un_threshold",
+                args.un_threshold if args.un_threshold is not None else 0.97)
+        cfg.set("Loss.rep_temp", args.temp if args.temp is not None else 0.5)
+    else:
+        for flag, key in [(args.strong_threshold, "Loss.strong_threshold"),
+                          (args.weak_threshold, "Loss.weak_threshold"),
+                          (args.un_threshold, "Loss.un_threshold"),
+                          (args.temp, "Loss.temp")]:
+            if flag is not None:
+                cfg.set(key, flag)
+    if args.data_dir:
+        cfg.set("Dataset.data_dir", args.data_dir)
+    if args.txt_dir:
+        cfg.set("Dataset.txt_dir", args.txt_dir)
+    if args.synthetic:
+        cfg.set("Dataset.name", "Synthetic")
+
+
+def _make_loaders(cfg, args, local_batch):
+    name = cfg.require("Dataset.name")
+    num_classes = cfg.require("Network.num_class")
+    canvas = tuple(cfg.get("Dataset.canvas_size", cfg.require("Dataset.crop_size")))
+    train_spec, test_spec = build_dataset_specs(
+        name, cfg.get("Dataset.data_dir", ""), canvas, num_classes
+    )
+    if name == "Synthetic":
+        n_l = max(args.num_labels, local_batch)
+        labeled = [f"l{i}" for i in range(n_l)]
+        unlabeled = [f"u{i}" for i in range(max(local_batch * 8, 64))]
+        test = [f"v{i}" for i in range(local_batch * 2)]
+    else:
+        labeled, unlabeled, test = read_split_lists(
+            cfg.require("Dataset.txt_dir"), args.num_labels, cfg.get("Seed", 3407)
+        )
+    shards, me = jax.process_count(), jax.process_index()
+    seed = cfg.get("Seed", 3407)
+    mk = lambda ids, spec, shuffle, drop: BatchLoader(
+        spec, ids, local_batch, seed=seed, shuffle=shuffle, drop_last=drop,
+        num_shards=shards, shard_index=me,
+    )
+    return (
+        mk(labeled, train_spec, True, True),
+        mk(unlabeled, train_spec, True, True),
+        mk(test, test_spec, False, False),
+    )
+
+
+def _evaluate(eval_step, state, test_loader, crop, num_classes, rng):
+    """Teacher eval: pad/crop each batch on device then accumulate the
+    confusion matrix (the reference's random test crop, VOC.py:44-45)."""
+    cm = ConfusionMatrix(num_classes)
+    mat = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for bi, batch in enumerate(test_loader):
+        img = jnp.asarray(batch["image"]).astype(jnp.float32) / 255.0
+        lab = jnp.asarray(batch["label"])
+        lab = jnp.where((lab >= 0) & (lab < num_classes), lab, -1)
+        img_c, lab_c, _ = batch_transform(
+            jax.random.fold_in(rng, bi), img, lab[:, None],
+            jnp.zeros((img.shape[0], 1) + img.shape[1:3], jnp.float32),
+            jnp.asarray(batch["valid_hw"]), crop_hw=crop,
+            scale_range=(1.0, 1.0), augmentation=False,
+        )
+        from css_tpu.ops.augment import normalize_imagenet
+
+        mat = eval_step(
+            state.ema_params, state.ema_batch_stats, mat,
+            normalize_imagenet(img_c), lab_c[:, 0], jnp.asarray(batch["valid"]),
+        )
+    cm.update(jax.device_get(mat))
+    return cm.miou
+
+
+def run_training(strategy: str, args) -> dict:
+    cfg = load_config(args.config)
+    _apply_cli_shadows(cfg, args, strategy)
+
+    seed = cfg.get("Seed", 3407)
+    mesh = data_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    per_dev_batch = cfg.require("Dataset.batch_size")
+    local_batch = per_dev_batch * n_dev
+
+    save_dir = os.path.join(cfg.get("Training_Setting.save_dir", "./checkpoints"),
+                            str(args.job_name))
+    log = Logger(os.path.join(save_dir, "train.log"), rank=jax.process_index())
+    if jax.process_index() == 0:
+        dump_config(cfg, save_dir)
+    log.info(f"devices={n_dev} strategy={strategy} "
+             f"batch/device={per_dev_batch} global_batch={local_batch * jax.process_count()}")
+
+    model, state, step_cfg, train_step, eval_step = _build_state_and_steps(
+        cfg, args, strategy, mesh
+    )
+    train_l, train_u, test_loader = _make_loaders(cfg, args, local_batch)
+
+    steps_per_epoch = max(len(train_l), 1)
+    total_epoch = max(int(args.total_iter / steps_per_epoch), 1)
+    log.info(f"total epochs: {total_epoch} ({steps_per_epoch} steps/epoch)")
+
+    start_epoch, best_miou = 0, 0.0
+    ckpt_path = os.path.join(save_dir, "best_model")
+    if args.resume and os.path.exists(args.resume):
+        state, start_epoch, best_miou = restore_checkpoint(args.resume, state)
+        log.info(f"resumed from {args.resume} at epoch {start_epoch}")
+    proto_resume = getattr(args, "prototypes_resume", "")
+    if proto_resume and os.path.exists(proto_resume):
+        state = load_prototypes(proto_resume, state)
+        log.info(f"prototypes seeded from {proto_resume}")
+
+    warmup = getattr(args, "warmup", 0)
+    rng = jax.random.key(seed)
+    crop = step_cfg.crop_hw
+    timer = StepTimer()
+    ramp = lambda e: float(rampdown_value(
+        e,
+        cfg.get("Ramp_Scheduler.begin_epoch", 0),
+        cfg.get("Ramp_Scheduler.max_epoch", 200),
+        cfg.get("Ramp_Scheduler.max_value", 1.0),
+        cfg.get("Ramp_Scheduler.min_value", 0.0),
+        cfg.get("Ramp_Scheduler.ramp_mult", -5.0),
+    ))
+
+    u_iter = InfiniteLoader(train_u, start_epoch)
+    done = False
+    for epoch in range(start_epoch, total_epoch):
+        train_l.set_epoch(epoch)
+        if strategy == "ori":
+            weight = 1.0
+        else:
+            weight = ramp(epoch) if args.sche else 1.0
+        use_rep = bool(strategy == "cross" and epoch >= warmup)
+
+        with maybe_profile(args.profile_dir, epoch == start_epoch):
+            for batch_l in train_l:
+                batch_u = next(u_iter)
+                batch = {
+                    "l_image": batch_l["image"],
+                    "l_label": batch_l["label"],
+                    "l_valid_hw": batch_l["valid_hw"],
+                    "u_image": batch_u["image"],
+                    "u_valid_hw": batch_u["valid_hw"],
+                }
+                rng, krng = jax.random.split(rng)
+                state, metrics = train_step(
+                    state, shard_batch(mesh, batch), krng,
+                    jnp.float32(weight), jnp.asarray(use_rep),
+                )
+                timer.tick()
+                if args.max_steps and int(state.step) >= args.max_steps:
+                    done = True
+                    break
+
+        eval_now = (
+            strategy == "ori"
+            or epoch % 20 == 0
+            or epoch > total_epoch - 50
+            or done
+            or epoch == total_epoch - 1
+        )
+        if eval_now:
+            rng, erng = jax.random.split(rng)
+            miou = _evaluate(eval_step, state, test_loader, crop,
+                             step_cfg.num_classes, erng)
+            best_miou = max(best_miou, miou)
+            m = jax.device_get(metrics)
+            log.info(
+                f"Epoch:{epoch} * mIoU {miou:.4f} Best_mIoU {best_miou:.4f} "
+                f"loss {float(m['total']):.4f} (sup {float(m['sup']):.4f} "
+                f"unsup {float(m['unsup']):.4f} contrast {float(m['contrast']):.4f}) "
+                f"{timer.summary()} Time {time.asctime()}"
+            )
+            if miou >= best_miou and jax.process_index() == 0:
+                save_checkpoint(ckpt_path, state, epoch + 1, miou)
+        else:
+            log.info(f"Epoch:{epoch} * Time {time.asctime()} {timer.summary()}")
+        if done:
+            break
+
+    return {"best_miou": best_miou, "steps": int(jax.device_get(state.step))}

@@ -1,0 +1,133 @@
+"""Dataset record specs: path layout + decode-to-canvas.
+
+The host side of the pipeline is deliberately thin — decode the image/label
+pair and paste it into a fixed-size uint8 canvas (image padded 0, label
+padded 255=ignore) with the true (h, w) recorded.  Every stochastic
+transform happens on device (css_tpu/ops/augment.py), unlike the reference
+whose dataloader runs the full PIL pipeline per worker process
+(dataset_helpers/VOC.py:11-27).
+
+Path layouts mirror the reference:
+  * VOC:        <root>/JPEGImages/<id>.jpg,
+                <root>/SegmentationClassAug/<id>.png          (VOC.py:21-22)
+  * Cityscapes: ids like ``<city>_..._leftImg8bit``; image at
+                <root>/leftImg8bit/<mode>/<city>/<id>.png, label at
+                <root>/gtFine/<mode>/<city>/<id minus "_leftImg8bit">_
+                gtFine_trainIds.png                 (Cityscapes.py:219-225)
+
+``SyntheticSpec`` generates deterministic pseudo-data with the same record
+interface for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["VOCSpec", "CityscapesSpec", "SyntheticSpec", "build_dataset_specs"]
+
+
+@dataclasses.dataclass
+class _CanvasSpec:
+    canvas_hw: Tuple[int, int]
+
+    def load(self, sample_id: str):
+        """Returns (image_canvas uint8 [H,W,3], label_canvas int32 [H,W],
+        valid_hw (h, w))."""
+        img, lab = self._decode(sample_id)
+        ch, cw = self.canvas_hw
+        h, w = img.shape[:2]
+        if h > ch or w > cw:
+            raise ValueError(
+                f"sample {sample_id} ({h}x{w}) exceeds canvas {self.canvas_hw}"
+            )
+        icanvas = np.zeros((ch, cw, 3), np.uint8)
+        lcanvas = np.full((ch, cw), 255, np.int32)
+        icanvas[:h, :w] = img
+        if lab is not None:
+            lcanvas[:h, :w] = lab
+        return icanvas, lcanvas, np.asarray([h, w], np.int32)
+
+    def _decode(self, sample_id: str):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class VOCSpec(_CanvasSpec):
+    root: str = ""
+    canvas_hw: Tuple[int, int] = (512, 512)
+
+    def _decode(self, sample_id: str):
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.root, "JPEGImages", f"{sample_id}.jpg"))
+        img = np.asarray(img.convert("RGB"), np.uint8)
+        lab_path = os.path.join(self.root, "SegmentationClassAug", f"{sample_id}.png")
+        lab = None
+        if os.path.exists(lab_path):
+            lab = np.asarray(Image.open(lab_path), np.int32)
+        return img, lab
+
+
+@dataclasses.dataclass
+class CityscapesSpec(_CanvasSpec):
+    root: str = ""
+    mode: str = "train"  # train | val
+    canvas_hw: Tuple[int, int] = (1024, 2048)
+
+    def _decode(self, sample_id: str):
+        from PIL import Image
+
+        city = sample_id[: sample_id.find("_")]
+        img_path = os.path.join(
+            self.root, "leftImg8bit", self.mode, city, f"{sample_id}.png"
+        )
+        lab_id = sample_id[:-len("_leftImg8bit")] + "_gtFine_trainIds"
+        lab_path = os.path.join(self.root, "gtFine", self.mode, city, f"{lab_id}.png")
+        img = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
+        lab = None
+        if os.path.exists(lab_path):
+            lab = np.asarray(Image.open(lab_path), np.int32)
+        return img, lab
+
+
+@dataclasses.dataclass
+class SyntheticSpec(_CanvasSpec):
+    """Deterministic random data with the record interface (tests/bench)."""
+
+    num_classes: int = 21
+    canvas_hw: Tuple[int, int] = (512, 512)
+    image_hw: Optional[Tuple[int, int]] = None   # default: ~canvas-sized
+
+    def _decode(self, sample_id: str):
+        seed = abs(hash(sample_id)) % (2 ** 31)
+        rng = np.random.default_rng(seed)
+        if self.image_hw is not None:
+            h, w = self.image_hw
+        else:
+            h = max(int(self.canvas_hw[0] * 0.95), 1)
+            w = max(int(self.canvas_hw[1] * 0.75), 1)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lab = rng.integers(0, self.num_classes, size=(h, w)).astype(np.int32)
+        lab[rng.random((h, w)) < 0.05] = 255
+        return img, lab
+
+
+def build_dataset_specs(name: str, data_dir: str, canvas_hw: Tuple[int, int],
+                        num_classes: int = 21):
+    """(train_spec, test_spec) for a dataset name (VOC|CityScapes|Synthetic)."""
+    if name == "VOC":
+        spec = VOCSpec(root=data_dir, canvas_hw=tuple(canvas_hw))
+        return spec, spec
+    if name == "CityScapes":
+        return (
+            CityscapesSpec(root=data_dir, mode="train", canvas_hw=tuple(canvas_hw)),
+            CityscapesSpec(root=data_dir, mode="val", canvas_hw=tuple(canvas_hw)),
+        )
+    if name == "Synthetic":
+        spec = SyntheticSpec(num_classes=num_classes, canvas_hw=tuple(canvas_hw))
+        return spec, spec
+    raise ValueError(f"unknown dataset {name}")

@@ -1,0 +1,139 @@
+"""Host-side batch loader: sharded shuffling sampler + threaded prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=4) + DistributedSampler +
+iterator_`` stack (ori_pseudo.py:41-58, utils.py:168-188):
+
+* per-epoch seeded global permutation, sharded across hosts — the
+  ``DistributedSampler.set_epoch`` contract (ori_pseudo.py:155-157) as a
+  pure function of (seed, epoch);
+* ``drop_last`` batching for train, padded+masked final batch for eval;
+* a thread pool decodes records into pinned numpy canvases one batch ahead
+  (decode is the only host work left — all augmentation is on device);
+* ``InfiniteLoader`` cycles epochs with re-shuffling, the analog of the
+  reference's infinite unlabeled iterator.
+
+A C++ decode/prefetch runtime can be slotted behind the same interface (see
+native/); the Python thread pool is the portable default.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+__all__ = ["BatchLoader", "InfiniteLoader"]
+
+
+def _epoch_permutation(n: int, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n)
+    return np.random.default_rng(seed * 1000003 + epoch).permutation(n)
+
+
+class BatchLoader:
+    """Iterates dict batches: image [B,H,W,3] u8, label [B,H,W] i32,
+    valid_hw [B,2] i32, valid [B] bool (False only on eval padding)."""
+
+    def __init__(
+        self,
+        spec,
+        sample_ids: List[str],
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        self.spec = spec
+        self.ids = list(sample_ids)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+        self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _shard_ids(self) -> List[str]:
+        order = _epoch_permutation(len(self.ids), self.seed, self.epoch, self.shuffle)
+        mine = order[self.shard_index::self.num_shards]
+        return [self.ids[i] for i in mine]
+
+    def __len__(self) -> int:
+        n = len(self._shard_ids())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, ids: List[str]) -> dict:
+        records = list(self._pool.map(self.spec.load, ids))
+        b = self.batch_size
+        ch, cw = self.spec.canvas_hw
+        image = np.zeros((b, ch, cw, 3), np.uint8)
+        label = np.full((b, ch, cw), 255, np.int32)
+        valid_hw = np.ones((b, 2), np.int32)
+        valid = np.zeros((b,), bool)
+        for i, (img, lab, vhw) in enumerate(records):
+            image[i], label[i], valid_hw[i] = img, lab, vhw
+            valid[i] = True
+        return dict(image=image, label=label, valid_hw=valid_hw, valid=valid)
+
+    def __iter__(self) -> Iterator[dict]:
+        ids = self._shard_ids()
+        batches = []
+        for i in range(0, len(ids), self.batch_size):
+            chunk = ids[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                break
+            batches.append(chunk)
+
+        # pipeline: keep `prefetch` batch futures in flight
+        futures: List[cf.Future] = []
+        submit_iter = iter(batches)
+
+        def _submit_next():
+            try:
+                chunk = next(submit_iter)
+            except StopIteration:
+                return
+            futures.append(self._pool.submit(self._make_batch, chunk))
+
+        for _ in range(self.prefetch + 1):
+            _submit_next()
+        idx = 0
+        while idx < len(batches):
+            batch = futures[idx].result()
+            _submit_next()
+            yield batch
+            idx += 1
+
+
+class InfiniteLoader:
+    """Endless batches, re-shuffling each epoch boundary (utils.py:168-188)."""
+
+    def __init__(self, loader: BatchLoader, start_epoch: int = 0):
+        self.loader = loader
+        self.epoch = start_epoch
+        self._it: Optional[Iterator] = None
+
+    def __next__(self) -> dict:
+        while True:
+            if self._it is None:
+                self.loader.set_epoch(self.epoch)
+                self._it = iter(self.loader)
+            try:
+                return next(self._it)
+            except StopIteration:
+                self.epoch += 1
+                self._it = None
