@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark: semi-supervised train-step throughput on one TPU chip.
+
+Workload = the flagship recipe (reference VOC baseline, ori_pseudo
+strategy): DeepLabV3+ ResNet-101 OS8, 512x512 crops, batch 8 labeled +
+8 unlabeled per chip, full step (device augmentation, teacher pseudo-labels,
+gathered mixing, dual student forward, sup+unsup+contrastive losses,
+backward, SGD, EMA, prototype update).
+
+Metric: images/sec/chip counting labeled+unlabeled (16 images per step), the
+unit used by BASELINE.md's north star.  ``vs_baseline`` divides by an A100
+estimate of the reference implementation: ~20 img/s/GPU — generous to the
+reference, assuming its compute at 40% MFU with the in-forward PIL round
+trips and host-bound contrastive sampling fully hidden (they are not; see
+SURVEY.md section 3.2).  The north-star target is vs_baseline >= 2.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+A100_REFERENCE_IMG_PER_SEC = 20.0
+
+BATCH = 8
+CROP = 512
+STEPS = 10
+WARMUP = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from css_tpu.models import build_model
+    from css_tpu.train.state import create_train_state, make_optimizer
+    from css_tpu.train.train_step import StepConfig, make_train_step
+
+    dev = jax.devices()[0]
+    model = build_model(num_classes=21, output_dim=256, backbone="resnet101",
+                        dtype=jnp.bfloat16)
+    tx = make_optimizer(base_lr=6.4e-3, weight_decay=5e-4, total_steps=80000)
+    state = create_train_state(
+        jax.random.key(0), model, tx, (1, CROP, CROP, 3), num_classes=21,
+        output_dim=256,
+    )
+    cfg = StepConfig(
+        num_classes=21, crop_hw=(CROP, CROP), scale_range=(0.5, 1.5),
+        strategy="ori", mix_mode="cutmix",
+    )
+    step = jax.jit(make_train_step(model, tx, cfg, axis_name=None),
+                   donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    canvas = CROP
+    batch = {
+        "l_image": jnp.asarray(rng.random((BATCH, canvas, canvas, 3), dtype=np.float32)),
+        "l_label": jnp.asarray(
+            rng.integers(0, 21, size=(BATCH, canvas, canvas)).astype(np.int32)),
+        "l_valid_hw": jnp.full((BATCH, 2), canvas, jnp.int32),
+        "u_image": jnp.asarray(rng.random((BATCH, canvas, canvas, 3), dtype=np.float32)),
+        "u_valid_hw": jnp.full((BATCH, 2), canvas, jnp.int32),
+    }
+    batch = jax.device_put(batch, dev)
+
+    key = jax.random.key(1)
+    w = jnp.float32(1.0)
+    flag = jnp.asarray(False)
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i), w, flag)
+    # device_get forces real completion (block_until_ready alone can return
+    # early under the remote-TPU platform used for development)
+    jax.device_get(metrics["total"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i), w, flag)
+    jax.device_get(metrics["total"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = 2 * BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "semi-supervised train throughput (VOC recipe, 1 chip)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

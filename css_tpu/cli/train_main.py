@@ -122,6 +122,7 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         num_negatives=cfg.get("Loss.num_negatives", 512),
         proto_alpha=cfg.get("Loss.alpha", 0.99),
         ema_alpha=cfg.get("EMA.alpha", 0.99),
+        contrast_enabled=bool(cfg.get("Loss.is_available", True)),
     )
     train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
     eval_step = jax.jit(make_eval_step(model, num_classes))
@@ -185,23 +186,25 @@ def _make_loaders(cfg, args, local_batch):
 def _evaluate(eval_step, state, test_loader, crop, num_classes, rng):
     """Teacher eval: pad/crop each batch on device then accumulate the
     confusion matrix (the reference's random test crop, VOC.py:44-45)."""
+    from css_tpu.ops.augment import normalize_imagenet, to_channel_first, to_channel_last
+
     cm = ConfusionMatrix(num_classes)
     mat = jnp.zeros((num_classes, num_classes), jnp.int32)
     for bi, batch in enumerate(test_loader):
-        img = jnp.asarray(batch["image"]).astype(jnp.float32) / 255.0
+        img = to_channel_first(jnp.asarray(batch["image"]).astype(jnp.float32) / 255.0)
         lab = jnp.asarray(batch["label"])
         lab = jnp.where((lab >= 0) & (lab < num_classes), lab, -1)
+        b, _, hh, ww = img.shape
         img_c, lab_c, _ = batch_transform(
             jax.random.fold_in(rng, bi), img, lab[:, None],
-            jnp.zeros((img.shape[0], 1) + img.shape[1:3], jnp.float32),
+            jnp.zeros((b, 1, hh, ww), jnp.float32),
             jnp.asarray(batch["valid_hw"]), crop_hw=crop,
             scale_range=(1.0, 1.0), augmentation=False,
         )
-        from css_tpu.ops.augment import normalize_imagenet
-
         mat = eval_step(
             state.ema_params, state.ema_batch_stats, mat,
-            normalize_imagenet(img_c), lab_c[:, 0], jnp.asarray(batch["valid"]),
+            to_channel_last(normalize_imagenet(img_c, channel_axis=-3)),
+            lab_c[:, 0], jnp.asarray(batch["valid"]),
         )
     cm.update(jax.device_get(mat))
     return cm.miou

@@ -5,7 +5,7 @@ Replaces the reference's hottest non-compute path: ``batch_transform*``
 GPU->CPU, round-trips it through PIL (``transform``/``transform_2``/
 ``transform_3``, VOC.py:64-274), and re-uploads — per image, per step,
 twice per step.  Here the whole pipeline is one vmapped, jit-compiled
-gather program over NHWC tensors in HBM:
+program over HBM-resident tensors.
 
 reference semantics reproduced (VOC.py:64-124):
   * scale ratio ~ U(scale_lo, scale_hi); resized = floor(size * ratio)
@@ -16,10 +16,17 @@ reference semantics reproduced (VOC.py:64-124):
   * optional photometric block (color jitter p=.8, blur p=.5) and
     horizontal flip p=.5 — applied only when ``augmentation=True``.
 
-Instead of materializing the dynamically-shaped resized image, every output
-pixel is mapped backwards (crop offset -> padded coords -> multi-fold
-reflection -> source coords) and sampled in one gather.  All shapes are
-static; the per-image scale/crop randomness lives in index arithmetic.
+TPU-native design notes:
+  * the scale->pad(reflect)->crop chain is a *separable* backward mapping:
+    output row y depends only on (crop offset, reflection, scale) of y, and
+    likewise for columns.  So resampling is four 1-D ``take``s (rows then
+    columns, two taps each for bilinear) instead of a 2-D gather — XLA
+    lowers 1-D takes to fast row copies, while per-pixel 2-D gathers are
+    catastrophically slow on TPU;
+  * images travel channel-first ([B, 3, H, W]) through the augmentation
+    pipeline so the minor (lane) dimension is W, not the 3-wide channel
+    axis; the train step transposes to NHWC once, right before the conv
+    stack.
 
 Accepted divergence: PIL's bilinear downscale antialiases (area-weighted
 support); this implementation uses pure bilinear taps.  Labels and
@@ -33,7 +40,7 @@ the reference's ``transform`` (1+1), ``transform_2`` (1+2) and
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,21 +48,40 @@ import jax.numpy as jnp
 from css_tpu.ops.photometric import random_photometric
 
 __all__ = ["geometric_transform", "batch_transform", "normalize_imagenet",
-           "denormalize_imagenet"]
+           "denormalize_imagenet", "to_channel_first", "to_channel_last"]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def normalize_imagenet(img):
-    mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
-    std = jnp.asarray(IMAGENET_STD, img.dtype)
+def to_channel_first(img_nhwc: jax.Array) -> jax.Array:
+    return jnp.transpose(img_nhwc, (0, 3, 1, 2))
+
+
+def to_channel_last(img_nchw: jax.Array) -> jax.Array:
+    return jnp.transpose(img_nchw, (0, 2, 3, 1))
+
+
+def normalize_imagenet(img, channel_axis: int = -1):
+    """(x - mean)/std; works for NHWC (channel_axis=-1) or CF (=-3)."""
+    shape = [1, 1, 1]
+    shape[channel_axis] = 3 if channel_axis == -3 else 3
+    if channel_axis == -1:
+        mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
+        std = jnp.asarray(IMAGENET_STD, img.dtype)
+    else:
+        mean = jnp.asarray(IMAGENET_MEAN, img.dtype).reshape(3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD, img.dtype).reshape(3, 1, 1)
     return (img - mean) / std
 
 
-def denormalize_imagenet(img):
-    mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
-    std = jnp.asarray(IMAGENET_STD, img.dtype)
+def denormalize_imagenet(img, channel_axis: int = -1):
+    if channel_axis == -1:
+        mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
+        std = jnp.asarray(IMAGENET_STD, img.dtype)
+    else:
+        mean = jnp.asarray(IMAGENET_MEAN, img.dtype).reshape(3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD, img.dtype).reshape(3, 1, 1)
     return img * std + mean
 
 
@@ -66,9 +92,29 @@ def _reflect_index(idx, size):
     return jnp.where(size > 1, jnp.minimum(m, period - m), 0)
 
 
+def _axis_maps(rng, out_size: int, valid, ratio, crop):
+    """Per-axis backward mapping.  Returns (bilinear lo idx, hi idx, frac,
+    nearest idx, oob mask) — all 1-D of length out_size."""
+    v = valid.astype(jnp.float32)
+    r = jnp.maximum(jnp.floor(v * ratio), 1.0)          # resized extent
+    p = jnp.maximum(r, crop)                            # padded extent
+    off = jnp.floor(jax.random.uniform(rng) * (p - crop + 1.0))
+    pos = jnp.arange(out_size, dtype=jnp.float32) + off  # padded coords
+    oob = pos >= r
+    rpos = _reflect_index(pos, r)
+    # resized -> source (half-pixel centres, PIL convention)
+    src = jnp.clip((rpos + 0.5) * v / r - 0.5, 0.0, v - 1.0)
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, valid - 1)
+    near = jnp.clip(jnp.floor((rpos + 0.5) * v / r), 0.0, v - 1.0).astype(jnp.int32)
+    return lo_i, hi_i, frac, near, oob
+
+
 def geometric_transform(
     rng: jax.Array,
-    image: jax.Array,          # [H, W, 3] float in [0,1]
+    image: jax.Array,          # [3, H, W] float in [0,1]
     labels: jax.Array,         # [K, H, W] int32 (-1 = ignore)
     confs: jax.Array,          # [L, H, W] float confidence maps
     valid_hw: jax.Array,       # [2] int32 valid region of the canvas
@@ -76,66 +122,32 @@ def geometric_transform(
     scale_range: Tuple[float, float],
     augmentation: bool,
 ):
-    """One image through scale->pad->crop->(photo, flip). Returns same layout
-    with spatial dims = crop_hw."""
+    """One image through scale->pad->crop->(photo, flip); channel-first."""
     ch, cw = crop_hw
-    vh = valid_hw[0].astype(jnp.float32)
-    vw = valid_hw[1].astype(jnp.float32)
     k_scale, k_i, k_j, k_photo, k_flip = jax.random.split(rng, 5)
-
     ratio = jax.random.uniform(k_scale, minval=scale_range[0], maxval=scale_range[1])
-    rh = jnp.maximum(jnp.floor(vh * ratio), 1.0)
-    rw = jnp.maximum(jnp.floor(vw * ratio), 1.0)
-    ph = jnp.maximum(rh, ch)
-    pw = jnp.maximum(rw, cw)
 
-    i0 = jnp.floor(jax.random.uniform(k_i) * (ph - ch + 1.0))
-    j0 = jnp.floor(jax.random.uniform(k_j) * (pw - cw + 1.0))
+    ylo, yhi, wy, ynear, y_oob = _axis_maps(k_i, ch, valid_hw[0], ratio, ch)
+    xlo, xhi, wx, xnear, x_oob = _axis_maps(k_j, cw, valid_hw[1], ratio, cw)
 
-    ys = jnp.arange(ch, dtype=jnp.float32)[:, None] + i0     # [ch, 1]
-    xs = jnp.arange(cw, dtype=jnp.float32)[None, :] + j0     # [1, cw]
-    py = jnp.broadcast_to(ys, (ch, cw))
-    px = jnp.broadcast_to(xs, (ch, cw))
+    # separable bilinear: two 1-D takes per axis
+    rows_lo = jnp.take(image, ylo, axis=1)
+    rows_hi = jnp.take(image, yhi, axis=1)
+    rows = rows_lo + wy[None, :, None] * (rows_hi - rows_lo)     # [3, ch, W]
+    cols_lo = jnp.take(rows, xlo, axis=2)
+    cols_hi = jnp.take(rows, xhi, axis=2)
+    out_img = cols_lo + wx[None, None, :] * (cols_hi - cols_lo)  # [3, ch, cw]
 
-    in_pad = (py >= rh) | (px >= rw)                         # label ignore region
-    ry = _reflect_index(py, rh)
-    rx = _reflect_index(px, rw)
-
-    # resized -> source mapping (half-pixel centres, PIL convention)
-    sy = jnp.clip((ry + 0.5) * vh / rh - 0.5, 0.0, vh - 1.0)
-    sx = jnp.clip((rx + 0.5) * vw / rw - 0.5, 0.0, vw - 1.0)
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = (sy - y0)[..., None]
-    wx = (sx - x0)[..., None]
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, valid_hw[0] - 1)
-    x1i = jnp.minimum(x0i + 1, valid_hw[1] - 1)
-
-    p00 = image[y0i, x0i]
-    p01 = image[y0i, x1i]
-    p10 = image[y1i, x0i]
-    p11 = image[y1i, x1i]
-    out_img = (
-        p00 * (1 - wy) * (1 - wx)
-        + p01 * (1 - wy) * wx
-        + p10 * wy * (1 - wx)
-        + p11 * wy * wx
-    )
-
-    # nearest sampling for labels / confidence maps
-    ny = jnp.clip(jnp.floor((ry + 0.5) * vh / rh), 0, vh - 1.0).astype(jnp.int32)
-    nx = jnp.clip(jnp.floor((rx + 0.5) * vw / rw), 0, vw - 1.0).astype(jnp.int32)
-    out_labels = labels[:, ny, nx]                           # [K, ch, cw]
+    in_pad = y_oob[:, None] | x_oob[None, :]
+    out_labels = jnp.take(jnp.take(labels, ynear, axis=1), xnear, axis=2)
     out_labels = jnp.where(in_pad[None], -1, out_labels)
-    out_confs = confs[:, ny, nx]
+    out_confs = jnp.take(jnp.take(confs, ynear, axis=1), xnear, axis=2)
     out_confs = jnp.where(in_pad[None], 0.0, out_confs)
 
     if augmentation:
         out_img = random_photometric(k_photo, out_img)
         do_flip = jax.random.uniform(k_flip) > 0.5
-        out_img = jnp.where(do_flip, out_img[:, ::-1], out_img)
+        out_img = jnp.where(do_flip, out_img[:, :, ::-1], out_img)
         out_labels = jnp.where(do_flip, out_labels[:, :, ::-1], out_labels)
         out_confs = jnp.where(do_flip, out_confs[:, :, ::-1], out_confs)
 
@@ -148,7 +160,7 @@ def geometric_transform(
 )
 def batch_transform(
     rng: jax.Array,
-    images: jax.Array,          # [B, H, W, 3] float [0,1]
+    images: jax.Array,          # [B, 3, H, W] float [0,1] (channel-first!)
     labels: jax.Array,          # [B, K, H, W] int32
     confs: jax.Array,           # [B, L, H, W] float
     valid_hw: jax.Array,        # [B, 2] int32

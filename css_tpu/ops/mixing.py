@@ -95,7 +95,7 @@ def _partner_batch(x: jax.Array, axis_name: Optional[str], partner: str) -> jax.
 
 def mix_batch(
     rng: jax.Array,
-    images: jax.Array,     # [B, H, W, 3]
+    images: jax.Array,     # [B, 3, H, W] (channel-first)
     labels: jax.Array,     # [B, K, H, W] int32
     confs: jax.Array,      # [B, L, H, W] float
     mode: str,
@@ -114,7 +114,7 @@ def mix_batch(
     """
     if mode == "none":
         return images, labels, confs
-    b, h, w, _ = images.shape
+    b, _, h, w = images.shape
     keys = jax.random.split(rng, b)
 
     if mode == "cutout":
@@ -128,7 +128,7 @@ def mix_batch(
     else:
         raise ValueError(f"unknown mix mode {mode}")
 
-    m_img = masks[:, :, :, None]
+    m_img = masks[:, None, :, :]
     m_map = masks[:, None, :, :]
 
     if mode == "cutout":

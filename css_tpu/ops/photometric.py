@@ -7,6 +7,10 @@ p=0.5, sigma ~ U(0.15, 1.15)) with vectorized float ops on HBM-resident
 tensors.  The four jitter ops are applied in a per-image random order, as
 torchvision's ColorJitter does.
 
+Layout is channel-first ([3, H, W]) so every elementwise op runs with the
+image width on the TPU lane dimension (a [H, W, 3] layout would waste
+125/128 lanes).
+
 Known, accepted divergences from the PIL path: computation is float (PIL
 quantizes to uint8 after every enhancement step), and the Gaussian blur is an
 exact separable Gaussian with edge-replicate padding rather than PIL's
@@ -24,13 +28,13 @@ _BLUR_RADIUS = 4  # supports sigma up to ~1.3 at 3-sigma truncation
 
 
 def _rgb_to_grayscale(img):
-    # itu-r 601-2 luma, as torchvision/PIL 'L'
-    w = jnp.array([0.299, 0.587, 0.114], img.dtype)
-    return jnp.sum(img * w, axis=-1, keepdims=True)
+    # itu-r 601-2 luma, as torchvision/PIL 'L'; img [3, H, W]
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype).reshape(3, 1, 1)
+    return jnp.sum(img * w, axis=0, keepdims=True)
 
 
 def _rgb_to_hsv(img):
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    r, g, b = img[0], img[1], img[2]
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
@@ -44,11 +48,11 @@ def _rgb_to_hsv(img):
         maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
     )
     h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
-    return jnp.stack([h, s, v], axis=-1)
+    return jnp.stack([h, s, v])
 
 
 def _hsv_to_rgb(hsv):
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h, s, v = hsv[0], hsv[1], hsv[2]
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1.0 - s)
@@ -58,12 +62,12 @@ def _hsv_to_rgb(hsv):
     r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
     g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
     b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b])
 
 
 def color_jitter(rng, img, brightness=(0.75, 1.25), contrast=(0.75, 1.25),
                  saturation=(0.75, 1.25), hue=(-0.25, 0.25)):
-    """Single image [H, W, 3] in [0, 1]; random factors, random op order."""
+    """Single image [3, H, W] in [0, 1]; random factors, random op order."""
     k_perm, k_b, k_c, k_s, k_h = jax.random.split(rng, 5)
     fb = jax.random.uniform(k_b, minval=brightness[0], maxval=brightness[1])
     fc = jax.random.uniform(k_c, minval=contrast[0], maxval=contrast[1])
@@ -83,7 +87,7 @@ def color_jitter(rng, img, brightness=(0.75, 1.25), contrast=(0.75, 1.25),
 
     def do_hue(x):
         hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
-        hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
+        hsv = hsv.at[0].set((hsv[0] + fh) % 1.0)
         return _hsv_to_rgb(hsv)
 
     order = jax.random.permutation(k_perm, 4)
@@ -97,7 +101,7 @@ def color_jitter(rng, img, brightness=(0.75, 1.25), contrast=(0.75, 1.25),
 
 
 def gaussian_blur(img, sigma):
-    """Separable Gaussian blur of one [H, W, 3] image; edge-replicate pad.
+    """Separable Gaussian blur of one [3, H, W] image; edge-replicate pad.
 
     ``sigma`` is a traced scalar; taps are computed from it per image.  With
     sigma -> 0 the kernel degenerates to identity.
@@ -107,23 +111,22 @@ def gaussian_blur(img, sigma):
     sig = jnp.maximum(sigma, 1e-4)
     w = jnp.exp(-(offs ** 2) / (2.0 * sig * sig))
     w = w / jnp.sum(w)
-    padded = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="edge")
-    # vertical pass: sum of shifted slices (static shifts -> fused by XLA)
-    h, wd = img.shape[0], img.shape[1]
+    h, wd = img.shape[1], img.shape[2]
+    padded = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
     out = jnp.zeros_like(img)
     for k in range(2 * r + 1):
-        out = out + w[k] * jax.lax.dynamic_slice_in_dim(padded, k, h, axis=0)
-    padded = jnp.pad(out, ((0, 0), (r, r), (0, 0)), mode="edge")
+        out = out + w[k] * jax.lax.dynamic_slice_in_dim(padded, k, h, axis=1)
+    padded = jnp.pad(out, ((0, 0), (0, 0), (r, r)), mode="edge")
     out = jnp.zeros_like(img)
     for k in range(2 * r + 1):
-        out = out + w[k] * jax.lax.dynamic_slice_in_dim(padded, k, wd, axis=1)
+        out = out + w[k] * jax.lax.dynamic_slice_in_dim(padded, k, wd, axis=2)
     return out
 
 
 def random_photometric(rng, img):
     """Reference augmentation block (VOC.py:94-103): jitter (p=.8) then
     blur (p=.5, sigma ~ U(.15, 1.15)).  Flip is handled in the geometric
-    transform.  Single image [H, W, 3] in [0, 1]."""
+    transform.  Single image [3, H, W] in [0, 1]."""
     k_dj, k_j, k_db, k_sig = jax.random.split(rng, 4)
     do_jitter = jax.random.uniform(k_dj) > 0.2
     jittered = color_jitter(k_j, img)

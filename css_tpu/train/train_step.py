@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from css_tpu.losses.contrastive import prototype_contrastive_loss
 from css_tpu.losses.cross_entropy import cross_entropy, ohem_cross_entropy
 from css_tpu.losses.threshold import attention_threshold_loss
-from css_tpu.ops.augment import batch_transform, normalize_imagenet
+from css_tpu.ops.augment import (
+    batch_transform,
+    normalize_imagenet,
+    to_channel_first,
+    to_channel_last,
+)
 from css_tpu.ops.interpolate import bilinear_resize, nearest_resize
 from css_tpu.ops.mixing import mix_batch
 from css_tpu.ops.onehot import label_onehot, label_onehot_ignore
@@ -71,11 +76,19 @@ class StepConfig:
     num_negatives: int = 512
     proto_alpha: float = 0.99
     ema_alpha: float = 0.99
+    contrast_enabled: bool = True             # Loss.is_available in the YAML
 
 
 def _remap_ignore(labels: jax.Array, num_classes: int) -> jax.Array:
     """255 (and any out-of-range) -> -1, reference VOC.py:115."""
     return jnp.where((labels >= 0) & (labels < num_classes), labels, -1)
+
+
+def _to01_cf(images: jax.Array) -> jax.Array:
+    """NHWC uint8/float canvas -> channel-first float [0,1]."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    return to_channel_first(images)
 
 
 def _rep_space_probs(rep: jax.Array, prototypes: jax.Array, temp: float):
@@ -115,12 +128,12 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
         return out, upd["batch_stats"]
 
     def pseudo_label_phase(state, l_img, u_img01, rng):
-        """No-grad teacher + augmentation pipeline.  Returns the augmented,
-        normalized unlabeled batch, its labels/conf maps, and updated teacher
-        batch stats."""
+        """No-grad teacher + augmentation pipeline.  ``u_img01`` is
+        channel-first raw [0,1]; returns the augmented, normalized (NHWC)
+        unlabeled batch, its labels/conf maps, and updated teacher stats."""
         k_t, k_mix, k_aug2 = jax.random.split(rng, 3)
         ema_stats = state.ema_batch_stats
-        u_img = normalize_imagenet(u_img01)
+        u_img = to_channel_last(normalize_imagenet(u_img01, channel_axis=-3))
 
         if cfg.strategy == "ori":
             (pred_u_t, _), ema_stats = teacher_apply(state.ema_params, ema_stats, u_img)
@@ -174,7 +187,8 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
             k_aug2, img01, labels, confs, full_hw,
             crop_hw=(ch, cw), scale_range=(1.0, 1.0), augmentation=True,
         )
-        return normalize_imagenet(img01), labels, confs, ema_stats
+        out = to_channel_last(normalize_imagenet(img01, channel_axis=-3))
+        return out, labels, confs, ema_stats
 
     def sup_loss_fn(pred_large, label):
         if cfg.sup_loss == "ohem":
@@ -189,23 +203,25 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
         k_laug, k_ucrop, k_teacher, k_contrast = jax.random.split(rng, 4)
 
         # ---- device-side labeled augmentation (reference: host dataloader) ----
-        bl = batch["l_image"].shape[0]
+        l_canvas = _to01_cf(batch["l_image"])
+        bl, _, lh, lw = l_canvas.shape
         l_lab_canvas = _remap_ignore(batch["l_label"], c)
         l_img01, l_labels, _ = batch_transform(
-            k_laug, batch["l_image"], l_lab_canvas[:, None],
-            jnp.zeros((bl, 1) + batch["l_image"].shape[1:3], jnp.float32),
+            k_laug, l_canvas, l_lab_canvas[:, None],
+            jnp.zeros((bl, 1, lh, lw), jnp.float32),
             batch["l_valid_hw"], crop_hw=(ch, cw), scale_range=cfg.scale_range,
             augmentation=True,
         )
-        l_img = normalize_imagenet(l_img01)
+        l_img = to_channel_last(normalize_imagenet(l_img01, channel_axis=-3))
         l_label = l_labels[:, 0]
 
         # ---- unlabeled base crop (reference: unlabeled loader, scale (1,1)) ----
-        bu = batch["u_image"].shape[0]
+        u_canvas = _to01_cf(batch["u_image"])
+        bu, _, uh, uw = u_canvas.shape
         u_img01, _, _ = batch_transform(
-            k_ucrop, batch["u_image"],
-            jnp.zeros((bu, 1) + batch["u_image"].shape[1:3], jnp.int32),
-            jnp.zeros((bu, 1) + batch["u_image"].shape[1:3], jnp.float32),
+            k_ucrop, u_canvas,
+            jnp.zeros((bu, 1, uh, uw), jnp.int32),
+            jnp.zeros((bu, 1, uh, uw), jnp.float32),
             batch["u_valid_hw"], crop_hw=(ch, cw), scale_range=(1.0, 1.0),
             augmentation=False,
         )
@@ -272,13 +288,16 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
                 )
                 prob_all = jax.nn.softmax(sim / cfg.rep_temp, axis=-1)
 
-            contrast, new_protos = prototype_contrastive_loss(
-                rep_all, label_all, mask_all, prob_all, state.prototypes,
-                k_contrast,
-                num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
-                temp=cfg.temp, strong_threshold=cfg.strong_threshold,
-                alpha=cfg.proto_alpha, axis_name=axis_name,
-            )
+            if cfg.contrast_enabled:
+                contrast, new_protos = prototype_contrastive_loss(
+                    rep_all, label_all, mask_all, prob_all, state.prototypes,
+                    k_contrast,
+                    num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
+                    temp=cfg.temp, strong_threshold=cfg.strong_threshold,
+                    alpha=cfg.proto_alpha, axis_name=axis_name,
+                )
+            else:
+                contrast, new_protos = jnp.float32(0.0), state.prototypes
             total = sup + unsup + contrast * contrast_weight
             aux = dict(stats=stats, protos=new_protos, sup=sup, unsup=unsup,
                        contrast=contrast)

@@ -1,4 +1,8 @@
-"""Tests for the device-resident geometric/photometric augmentation."""
+"""Tests for the device-resident geometric/photometric augmentation.
+
+Layout note: the augmentation pipeline is channel-first ([B, 3, H, W]) for
+TPU lane efficiency, which also matches torch's native layout for goldens.
+"""
 
 import numpy as np
 import pytest
@@ -8,13 +12,13 @@ import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
 
-from css_tpu.ops.augment import batch_transform, normalize_imagenet, denormalize_imagenet
+from css_tpu.ops.augment import batch_transform, denormalize_imagenet, normalize_imagenet
 from css_tpu.ops.photometric import _hsv_to_rgb, _rgb_to_hsv, gaussian_blur
 
 
 def _case(seed, b=2, h=64, w=64):
     rng = np.random.default_rng(seed)
-    img = rng.random((b, h, w, 3), dtype=np.float32)
+    img = rng.random((b, 3, h, w), dtype=np.float32)
     lab = rng.integers(-1, 21, size=(b, 1, h, w)).astype(np.int32)
     conf = rng.random((b, 1, h, w), dtype=np.float32)
     vhw = np.full((b, 2), h, np.int32)
@@ -46,20 +50,20 @@ def test_downscale_pad_matches_torch_bilinear_and_pil_nearest():
     oi, ol, oc = np.asarray(oi), np.asarray(ol), np.asarray(oc)
 
     want = F.interpolate(
-        torch.from_numpy(img).permute(0, 3, 1, 2), size=(32, 32),
+        torch.from_numpy(img), size=(32, 32),
         mode="bilinear", align_corners=False, antialias=False,
-    ).permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(oi[:, :32, :32], want, atol=1e-5)
+    ).numpy()
+    np.testing.assert_allclose(oi[:, :, :32, :32], want, atol=1e-5)
 
     # nearest labels with PIL's half-pixel convention: src = floor((i+.5)*2)
     idx = np.floor((np.arange(32) + 0.5) * 2).astype(int)
     np.testing.assert_array_equal(ol[0, 0, :32, :32], lab[0, 0][np.ix_(idx, idx)])
 
-    # padding: labels -1, confidences 0, image reflect (row 32 == row 30 of resized)
+    # padding: labels -1, confidences 0, image reflect (row 32 == row 30)
     assert (ol[0, 0, 32:, :] == -1).all() and (ol[0, 0, :, 32:] == -1).all()
     assert (oc[0, 0, 32:, :] == 0).all()
-    np.testing.assert_allclose(oi[0, 32, :32], oi[0, 30, :32], atol=1e-6)
-    np.testing.assert_allclose(oi[0, 33, :32], oi[0, 29, :32], atol=1e-6)
+    np.testing.assert_allclose(oi[0, :, 32, :32], oi[0, :, 30, :32], atol=1e-6)
+    np.testing.assert_allclose(oi[0, :, 33, :32], oi[0, :, 29, :32], atol=1e-6)
 
 
 def test_upscale_crop_shapes_and_validity():
@@ -69,31 +73,35 @@ def test_upscale_crop_shapes_and_validity():
         jnp.asarray(vhw), crop_hw=(48, 48), scale_range=(1.2, 1.5),
         augmentation=True,
     )
-    assert oi.shape == (2, 48, 48, 3) and ol.shape == (2, 1, 48, 48)
+    assert oi.shape == (2, 3, 48, 48) and ol.shape == (2, 1, 48, 48)
     assert np.isfinite(np.asarray(oi)).all()
-    # upscale >= crop: no padding, labels never out-of-range besides ignore
     assert (np.asarray(ol) >= -1).all() and (np.asarray(ol) < 21).all()
     assert np.asarray(oi).min() >= -1e-6 and np.asarray(oi).max() <= 1 + 1e-6
 
 
 def test_hsv_round_trip():
     rng = np.random.default_rng(3)
-    img = rng.random((16, 16, 3)).astype(np.float32)
+    img = rng.random((3, 16, 16)).astype(np.float32)
     back = np.asarray(_hsv_to_rgb(_rgb_to_hsv(jnp.asarray(img))))
     np.testing.assert_allclose(back, img, atol=1e-5)
 
 
 def test_gaussian_blur_properties():
     rng = np.random.default_rng(4)
-    img = rng.random((32, 32, 3)).astype(np.float32)
+    img = rng.random((3, 32, 32)).astype(np.float32)
     out = np.asarray(gaussian_blur(jnp.asarray(img), jnp.float32(1.0)))
     assert out.std() < img.std()          # smoothing
-    const = np.asarray(gaussian_blur(jnp.full((8, 8, 3), 0.7, np.float32), jnp.float32(1.0)))
-    np.testing.assert_allclose(const, 0.7, atol=1e-5)  # kernel normalized + edge pad
+    const = np.asarray(gaussian_blur(jnp.full((3, 8, 8), 0.7, np.float32),
+                                     jnp.float32(1.0)))
+    np.testing.assert_allclose(const, 0.7, atol=1e-5)  # normalized + edge pad
 
 
 def test_normalize_round_trip():
     rng = np.random.default_rng(5)
-    img = rng.random((4, 8, 8, 3)).astype(np.float32)
-    back = np.asarray(denormalize_imagenet(normalize_imagenet(jnp.asarray(img))))
-    np.testing.assert_allclose(back, img, atol=1e-5)
+    nhwc = rng.random((4, 8, 8, 3)).astype(np.float32)
+    back = np.asarray(denormalize_imagenet(normalize_imagenet(jnp.asarray(nhwc))))
+    np.testing.assert_allclose(back, nhwc, atol=1e-5)
+    cf = rng.random((4, 3, 8, 8)).astype(np.float32)
+    back = np.asarray(denormalize_imagenet(
+        normalize_imagenet(jnp.asarray(cf), channel_axis=-3), channel_axis=-3))
+    np.testing.assert_allclose(back, cf, atol=1e-5)

@@ -38,7 +38,7 @@ def test_class_half_mask_selects_half_of_present():
 def test_cutmix_single_device_partner_is_next_image():
     rng = np.random.default_rng(1)
     b, h, w = 4, 32, 32
-    imgs = rng.random((b, h, w, 3)).astype(np.float32)
+    imgs = rng.random((b, 3, h, w)).astype(np.float32)
     labs = rng.integers(0, 21, size=(b, 1, h, w)).astype(np.int32)
     confs = rng.random((b, 1, h, w)).astype(np.float32)
     oi, ol, oc = mix_batch(
@@ -49,22 +49,22 @@ def test_cutmix_single_device_partner_is_next_image():
     for i in range(b):
         j = (i + 1) % b
         # every output pixel equals own or partner pixel
-        own = np.isclose(oi[i], imgs[i], atol=1e-6).all(-1)
-        par = np.isclose(oi[i], imgs[j], atol=1e-6).all(-1)
+        own = np.isclose(oi[i], imgs[i], atol=1e-6).all(0)
+        par = np.isclose(oi[i], imgs[j], atol=1e-6).all(0)
         assert (own | par).all()
         assert par.any() and own.any()
 
 
 def test_cutout_zeroes_and_ignores():
     rng = np.random.default_rng(2)
-    imgs = rng.random((2, 32, 32, 3)).astype(np.float32) + 0.5
+    imgs = rng.random((2, 3, 32, 32)).astype(np.float32) + 0.5
     labs = rng.integers(0, 21, size=(2, 1, 32, 32)).astype(np.int32)
     confs = rng.random((2, 1, 32, 32)).astype(np.float32) + 0.5
     oi, ol, oc = mix_batch(
         jax.random.key(3), jnp.asarray(imgs), jnp.asarray(labs),
         jnp.asarray(confs), mode="cutout", num_classes=21,
     )
-    cut = np.asarray(oi).sum(-1) == 0
+    cut = np.asarray(oi).sum(1) == 0
     assert cut.any()
     assert (np.asarray(ol)[:, 0][cut] == -1).all()
     assert (np.asarray(oc)[:, 0][cut] == 0).all()
@@ -75,7 +75,7 @@ def test_gathered_cutmix_partner_from_rank0():
     n_dev, b, h, w = 4, 2, 16, 16
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
     rng = np.random.default_rng(3)
-    imgs = rng.random((n_dev * b, h, w, 3)).astype(np.float32)
+    imgs = rng.random((n_dev * b, 3, h, w)).astype(np.float32)
     labs = rng.integers(0, 21, size=(n_dev * b, 1, h, w)).astype(np.int32)
     confs = rng.random((n_dev * b, 1, h, w)).astype(np.float32)
 
@@ -94,8 +94,8 @@ def test_gathered_cutmix_partner_from_rank0():
     for gi in range(n_dev * b):
         i_local = gi % b
         partner = rank0[(i_local + 1) % b]
-        own = np.isclose(oi[gi], imgs[gi], atol=1e-6).all(-1)
-        par = np.isclose(oi[gi], partner, atol=1e-6).all(-1)
+        own = np.isclose(oi[gi], imgs[gi], atol=1e-6).all(0)
+        par = np.isclose(oi[gi], partner, atol=1e-6).all(0)
         assert (own | par).all()
 
 
@@ -103,7 +103,7 @@ def test_gathered_cutmix_ring_partner():
     n_dev, b, h, w = 4, 2, 16, 16
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
     rng = np.random.default_rng(4)
-    imgs = rng.random((n_dev * b, h, w, 3)).astype(np.float32)
+    imgs = rng.random((n_dev * b, 3, h, w)).astype(np.float32)
     labs = rng.integers(0, 21, size=(n_dev * b, 1, h, w)).astype(np.int32)
     confs = rng.random((n_dev * b, 1, h, w)).astype(np.float32)
 
@@ -120,6 +120,6 @@ def test_gathered_cutmix_ring_partner():
     oi = np.asarray(oi)
     for gi in range(n_dev * b):
         partner = imgs[(gi + 1) % (n_dev * b)]
-        own = np.isclose(oi[gi], imgs[gi], atol=1e-6).all(-1)
-        par = np.isclose(oi[gi], partner, atol=1e-6).all(-1)
+        own = np.isclose(oi[gi], imgs[gi], atol=1e-6).all(0)
+        par = np.isclose(oi[gi], partner, atol=1e-6).all(0)
         assert (own | par).all()
