@@ -123,6 +123,7 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         proto_alpha=cfg.get("Loss.alpha", 0.99),
         ema_alpha=cfg.get("EMA.alpha", 0.99),
         contrast_enabled=bool(cfg.get("Loss.is_available", True)),
+        negative_mode=cfg.get("Loss.negative_mode", "sampled"),
     )
     train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
     eval_step = jax.jit(make_eval_step(model, num_classes))

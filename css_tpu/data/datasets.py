@@ -37,6 +37,9 @@ class _CanvasSpec:
     def load(self, sample_id: str):
         """Returns (image_canvas uint8 [H,W,3], label_canvas int32 [H,W],
         valid_hw (h, w))."""
+        native = self._load_native(sample_id)
+        if native is not None:
+            return native
         img, lab = self._decode(sample_id)
         ch, cw = self.canvas_hw
         h, w = img.shape[:2]
@@ -51,6 +54,33 @@ class _CanvasSpec:
             lcanvas[:h, :w] = lab
         return icanvas, lcanvas, np.asarray([h, w], np.int32)
 
+    def _load_native(self, sample_id: str):
+        """C++ decode straight into canvases when the native runtime is
+        built and the spec provides paths; None -> PIL fallback."""
+        from css_tpu.data import native_io
+
+        paths = self._paths(sample_id)
+        if paths is None or not native_io.native_available():
+            return None
+        img_path, lab_path = paths
+        ch, cw = self.canvas_hw
+        icanvas = np.zeros((ch, cw, 3), np.uint8)
+        lcanvas = np.full((ch, cw), 255, np.int32)
+        if img_path.endswith(".jpg") or img_path.endswith(".jpeg"):
+            hw = native_io.decode_jpeg_canvas(img_path, icanvas)
+        else:
+            hw = None  # PNG images (Cityscapes) stay on the PIL path for now
+        if hw is None:
+            return None
+        if lab_path is not None and os.path.exists(lab_path):
+            if native_io.decode_png_label_canvas(lab_path, lcanvas) is None:
+                return None
+        return icanvas, lcanvas, np.asarray(hw, np.int32)
+
+    def _paths(self, sample_id: str):
+        """(image_path, label_path_or_None) when path-based, else None."""
+        return None
+
     def _decode(self, sample_id: str):
         raise NotImplementedError
 
@@ -59,6 +89,12 @@ class _CanvasSpec:
 class VOCSpec(_CanvasSpec):
     root: str = ""
     canvas_hw: Tuple[int, int] = (512, 512)
+
+    def _paths(self, sample_id: str):
+        return (
+            os.path.join(self.root, "JPEGImages", f"{sample_id}.jpg"),
+            os.path.join(self.root, "SegmentationClassAug", f"{sample_id}.png"),
+        )
 
     def _decode(self, sample_id: str):
         from PIL import Image

@@ -57,12 +57,17 @@ def _grouped_random_order(cls_id, member, tie_rng, num_classes):
     Returns ``(order [N], counts [C], offsets [C])`` such that
     ``order[offsets[c] : offsets[c] + counts[c]]`` is a uniformly random
     permutation of the member pixels of class c.
+
+    The (class, random-tiebreak) pair is packed into one int32 key —
+    class in the high bits, 24 random bits below — so the TPU sorts a
+    single key operand instead of two.
     """
     n = cls_id.shape[0]
     key = jnp.where(member, cls_id, num_classes).astype(jnp.int32)
-    tie = jax.random.uniform(tie_rng, (n,), dtype=jnp.float32)
+    tie = jax.random.bits(tie_rng, (n,), dtype=jnp.uint32) >> jnp.uint32(8)
+    packed = (key << 24) | tie.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, _, order = jax.lax.sort((key, tie, idx), num_keys=2)
+    _, order = jax.lax.sort((packed, idx), num_keys=1)
     counts = jnp.bincount(key, length=num_classes + 1)[:num_classes]
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(counts)[:-1].astype(jnp.int32)])
@@ -114,8 +119,29 @@ def prototype_contrastive_loss(
     strong_threshold: float = 0.97,
     alpha: float = 0.99,
     axis_name: Optional[str] = None,
+    negative_mode: str = "sampled",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns ``(loss, new_prototypes)``."""
+    """Returns ``(loss, new_prototypes)``.
+
+    Performance notes (v5e, N=262k pixels, C=21): the straightforward
+    formulation spends its time in scattered element gathers (negative pixel
+    indices), ``searchsorted`` (negative classes) and 1KB row gathers
+    (negative representations).  This implementation avoids all three:
+    classes are sampled by counting CDF crossings (a broadcast compare),
+    per-class count/offset lookups are one-hot matmuls, and negatives are
+    rows of a *pre-sorted, pre-normalized bf16* representation table so the
+    only remaining gather streams contiguous class-grouped rows.
+
+    ``negative_mode``:
+      * ``sampled``  — reference semantics: per anchor, ``num_negatives``
+        pixels drawn (class ~ softmax(proto sim/temp), pixel uniform within
+        class) and summed inside the InfoNCE denominator (loss.py:131-147);
+      * ``expected`` — replaces the Monte-Carlo negative sum with its exact
+        expectation, G * E_n[exp(sim/temp)], computed as an anchor-vs-all
+        matmul with per-pixel mixture weights.  Deterministic, lower
+        variance, zero gathers — the MXU-native formulation (the sampled
+        estimator converges to it as G grows).
+    """
     b, h, w, d = rep.shape
     num_classes = label_onehot.shape[-1]
     n = b * h * w
@@ -136,11 +162,11 @@ def prototype_contrastive_loss(
     protos_ng = jax.lax.stop_gradient(new_protos)
     protos_n = _l2_normalize(protos_ng, axis=-1)
 
-    # local class validity / hard-anchor pools
-    prob_at_cls = jnp.take_along_axis(
-        prob.reshape(n, num_classes), cls_id[:, None], axis=-1
-    )[:, 0]
-    hard = member & (jax.lax.stop_gradient(prob_at_cls) < strong_threshold)
+    # local class validity / hard-anchor pools; (onehot * prob) replaces a
+    # 262k-element scattered gather with an elementwise reduce
+    prob_at_cls = jnp.sum(onehot_flat * jax.lax.stop_gradient(
+        prob.reshape(n, num_classes)), axis=-1)
+    hard = member & (prob_at_cls < strong_threshold)
 
     order_all, counts_all, off_all = _grouped_random_order(
         cls_id, member, r_tie1, num_classes
@@ -151,13 +177,19 @@ def prototype_contrastive_loss(
     local_valid = counts_all > 0                       # [C]
     valid_num = jnp.sum(local_valid.astype(jnp.int32))
 
+    # negatives are sampled from the class-grouped random ordering, so
+    # materialize the normalized no-grad representation table in that order
+    # once (row gathers of a permutation stream well); negatives are read as
+    # contiguous-ish rows of this bf16 table inside the class scan.
+    rep_sorted_n = _l2_normalize(rep_ng, axis=-1)[order_all].astype(jnp.bfloat16)
+
     # ---- anchors: uniform-with-replacement from each class's hard pool ----
     u1 = jax.random.uniform(r_anchor, (num_classes, q))
     k1 = jnp.floor(u1 * jnp.maximum(counts_hard, 1)[:, None]).astype(jnp.int32)
     anchor_idx = order_hard[off_hard[:, None] + k1]    # [C, Q]
     anchors = rep_flat[anchor_idx]                     # [C, Q, D] (with grad)
 
-    # ---- negative class sampling: inverse-CDF over softmax(proto sim/temp) ----
+    # ---- negative class distribution: softmax(proto sim / temp) ----
     sim = protos_n @ protos_n.T                        # [C, C]
     neg_logits = sim / temp
     eye = jnp.eye(num_classes, dtype=bool)
@@ -168,37 +200,81 @@ def prototype_contrastive_loss(
     p = jax.nn.softmax(neg_logits, axis=-1)
     p = jnp.where(jnp.isfinite(p), p, 0.0)
     cdf = jnp.cumsum(p, axis=-1)                       # [C, C]
-    u = jax.random.uniform(r_negcls, (num_classes, q * g))
-    samp_class = jax.vmap(lambda c_row, u_row: jnp.searchsorted(c_row, u_row))(
-        cdf, u
-    ).astype(jnp.int32)
-    samp_class = jnp.clip(samp_class, 0, num_classes - 1)  # [C, Q*G]
-
-    # ---- negative pixel sampling: uniform valid pixel of the sampled class ----
-    u2 = jax.random.uniform(r_negpix, (num_classes, q * g))
-    k2 = jnp.floor(u2 * jnp.maximum(counts_all[samp_class], 1)).astype(jnp.int32)
-    neg_idx = order_all[off_all[samp_class] + k2]      # [C, Q*G]
+    counts_f = counts_all.astype(jnp.float32)
+    offs_f = off_all.astype(jnp.float32)
 
     # ---- per-class InfoNCE (scan over classes; remat keeps residuals tiny) ----
     @functools.partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-    def class_loss(anchor_c, neg_idx_c, proto_c):
-        a = _l2_normalize(anchor_c, axis=-1)                     # [Q, D]
-        negs = _l2_normalize(rep_ng[neg_idx_c].reshape(q, g, d), axis=-1)
-        pos_logit = (a @ proto_c)[:, None]                       # [Q, 1]
-        neg_logit = jnp.einsum("qd,qgd->qg", a, negs,
+    def class_loss(anchor_c, cdf_c, u_cls, u_pix, proto_c):
+        # class of each negative = #{c : cdf[c] < u} (inverse-CDF without
+        # searchsorted); count/offset lookups are one-hot matmuls.
+        samp = jnp.sum((u_cls[:, None] > cdf_c[None, :]).astype(jnp.float32),
+                       axis=1).astype(jnp.int32)
+        samp = jnp.clip(samp, 0, num_classes - 1)      # [Q*G]
+        oh = jax.nn.one_hot(samp, num_classes, dtype=jnp.float32)
+        cnt = oh @ counts_f                            # exact small ints
+        off = oh @ offs_f
+        pos = (off + jnp.floor(u_pix * jnp.maximum(cnt, 1.0))).astype(jnp.int32)
+        negs = rep_sorted_n[pos].reshape(q, g, d)      # [Q, G, D] bf16 rows
+
+        a = _l2_normalize(anchor_c, axis=-1)           # [Q, D] f32 (grad)
+        pos_logit = (a @ proto_c)[:, None]             # [Q, 1]
+        neg_logit = jnp.einsum("qd,qgd->qg", a.astype(jnp.bfloat16), negs,
                                preferred_element_type=jnp.float32)
         logits = jnp.concatenate([pos_logit, neg_logit], axis=1) / temp
         return jnp.mean(-logits[:, 0] + jax.scipy.special.logsumexp(logits, axis=1))
 
-    def body(total, inputs):
-        anchor_c, neg_idx_c, proto_c, contribute = inputs
-        loss_c = class_loss(anchor_c, neg_idx_c, proto_c)
-        return total + jnp.where(contribute, loss_c, 0.0), None
-
     contribute = local_valid & (counts_hard > 0)
-    total, _ = jax.lax.scan(
-        body, jnp.float32(0.0), (anchors, neg_idx, protos_n, contribute)
-    )
+
+    if negative_mode == "sampled":
+        u_cls = jax.random.uniform(r_negcls, (num_classes, q * g))
+        u_pix = jax.random.uniform(r_negpix, (num_classes, q * g))
+
+        def body(total, inputs):
+            anchor_c, cdf_c, uc, up, proto_c, contribute_c = inputs
+            loss_c = class_loss(anchor_c, cdf_c, uc, up, proto_c)
+            return total + jnp.where(contribute_c, loss_c, 0.0), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            (anchors, cdf, u_cls, u_pix, protos_n, contribute),
+        )
+    elif negative_mode == "expected":
+        # per-pixel mixture weight for class i's negatives: w_n =
+        # p_i[class(n)] / count_class(n) over member pixels (0 elsewhere);
+        # one-hot of the class-in-sorted-order gives w as a [N,C+1]@[C+1]
+        # matvec — no gathers anywhere in this branch.
+        sorted_cls = jnp.where(member, cls_id, num_classes)[order_all]
+        sorted_onehot = jax.nn.one_hot(sorted_cls, num_classes + 1,
+                                       dtype=jnp.float32)       # [N, C+1]
+        p_over_cnt = jnp.pad(p / jnp.maximum(counts_f, 1.0)[None, :],
+                             ((0, 0), (0, 1)))                  # [C, C+1]
+
+        @functools.partial(jax.checkpoint,
+                           policy=jax.checkpoint_policies.nothing_saveable)
+        def class_loss_exp(anchor_c, wrow, proto_c):
+            a = _l2_normalize(anchor_c, axis=-1)
+            pos = (a @ proto_c) / temp                          # [Q]
+            w = sorted_onehot @ wrow                            # [N]
+            sims = jax.lax.dot_general(
+                a.astype(jnp.bfloat16), rep_sorted_n,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / temp                                            # [Q, N]
+            neg_sum = jnp.exp(sims) @ w                         # [Q]
+            return jnp.mean(jnp.log(jnp.exp(pos) + g * neg_sum) - pos)
+
+        def body_exp(total, inputs):
+            anchor_c, wrow, proto_c, contribute_c = inputs
+            loss_c = class_loss_exp(anchor_c, wrow, proto_c)
+            return total + jnp.where(contribute_c, loss_c, 0.0), None
+
+        total, _ = jax.lax.scan(
+            body_exp, jnp.float32(0.0),
+            (anchors, p_over_cnt, protos_n, contribute),
+        )
+    else:
+        raise ValueError(f"unknown negative_mode {negative_mode}")
 
     loss = jnp.where(valid_num > 1, total / jnp.maximum(valid_num, 1), 0.0)
     return loss, new_protos

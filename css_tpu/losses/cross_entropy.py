@@ -24,11 +24,16 @@ def per_pixel_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Per-pixel CE; entries with label < 0 are returned as 0.
 
     logits: [..., C] float; labels: [...] int (-1 = ignore).
+
+    The label logit is selected with a one-hot multiply-reduce rather than
+    ``take_along_axis``: per-element gathers over a [B,H,W,C] map cost tens
+    of milliseconds on TPU, the one-hot contraction fuses into the softmax.
     """
     valid = labels >= 0
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     return jnp.where(valid, nll, 0.0)
 
 
@@ -61,7 +66,8 @@ def ohem_cross_entropy(
 
     prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     safe = jnp.where(valid, labels, 0)
-    target_prob = jnp.take_along_axis(prob, safe[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=prob.dtype)
+    target_prob = jnp.sum(prob * onehot, axis=-1)
     target_prob = jnp.where(valid, target_prob, 1.0)
 
     flat = target_prob.reshape(-1)

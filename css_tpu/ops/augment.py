@@ -130,18 +130,37 @@ def geometric_transform(
     ylo, yhi, wy, ynear, y_oob = _axis_maps(k_i, ch, valid_hw[0], ratio, ch)
     xlo, xhi, wx, xnear, x_oob = _axis_maps(k_j, cw, valid_hw[1], ratio, cw)
 
-    # separable bilinear: two 1-D takes per axis
-    rows_lo = jnp.take(image, ylo, axis=1)
-    rows_hi = jnp.take(image, yhi, axis=1)
-    rows = rows_lo + wy[None, :, None] * (rows_hi - rows_lo)     # [3, ch, W]
-    cols_lo = jnp.take(rows, xlo, axis=2)
-    cols_hi = jnp.take(rows, xhi, axis=2)
-    out_img = cols_lo + wx[None, None, :] * (cols_hi - cols_lo)  # [3, ch, cw]
+    # Separable bilinear as two matmuls on the MXU: the per-image 2-tap
+    # interpolation matrices A [ch, H] / B [cw, W] are built with one_hot and
+    # contracted against the image.  bf16 operands with f32 accumulation —
+    # at least the precision of the reference's uint8 PIL pipeline, and
+    # orders of magnitude faster than per-pixel gathers on TPU.
+    h, w = image.shape[1], image.shape[2]
+    mat_y = (jax.nn.one_hot(ylo, h, dtype=jnp.bfloat16) * (1 - wy)[:, None]
+             + jax.nn.one_hot(yhi, h, dtype=jnp.bfloat16) * wy[:, None])
+    mat_x = (jax.nn.one_hot(xlo, w, dtype=jnp.bfloat16) * (1 - wx)[:, None]
+             + jax.nn.one_hot(xhi, w, dtype=jnp.bfloat16) * wx[:, None])
+    img_b = image.astype(jnp.bfloat16)
+    rows = jnp.einsum("oh,chw->cow", mat_y, img_b,
+                      preferred_element_type=jnp.float32)        # [3, ch, W]
+    out_img = jnp.einsum("pw,cow->cop", mat_x, rows.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)     # [3, ch, cw]
 
+    # Nearest resampling for labels/confidences via exact one-hot selection
+    # matmuls (f32: a single 1.0 per row selects exactly, so integer labels
+    # survive bit-exact); gathers with traced indices are ~100x slower here.
     in_pad = y_oob[:, None] | x_oob[None, :]
-    out_labels = jnp.take(jnp.take(labels, ynear, axis=1), xnear, axis=2)
+    sel_y = jax.nn.one_hot(ynear, h, dtype=jnp.float32)          # [ch, H]
+    sel_x = jax.nn.one_hot(xnear, w, dtype=jnp.float32)          # [cw, W]
+    stacked = jnp.concatenate([labels.astype(jnp.float32), confs], axis=0)
+    picked = jnp.einsum("oh,khw->kow", sel_y, stacked,
+                        preferred_element_type=jnp.float32)
+    picked = jnp.einsum("pw,kow->kop", sel_x, picked,
+                        preferred_element_type=jnp.float32)
+    k = labels.shape[0]
+    out_labels = jnp.round(picked[:k]).astype(labels.dtype)
     out_labels = jnp.where(in_pad[None], -1, out_labels)
-    out_confs = jnp.take(jnp.take(confs, ynear, axis=1), xnear, axis=2)
+    out_confs = picked[k:]
     out_confs = jnp.where(in_pad[None], 0.0, out_confs)
 
     if augmentation:

@@ -77,6 +77,7 @@ class StepConfig:
     proto_alpha: float = 0.99
     ema_alpha: float = 0.99
     contrast_enabled: bool = True             # Loss.is_available in the YAML
+    negative_mode: str = "sampled"            # sampled (reference) | expected
 
 
 def _remap_ignore(labels: jax.Array, num_classes: int) -> jax.Array:
@@ -295,6 +296,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
                     num_queries=cfg.num_queries, num_negatives=cfg.num_negatives,
                     temp=cfg.temp, strong_threshold=cfg.strong_threshold,
                     alpha=cfg.proto_alpha, axis_name=axis_name,
+                    negative_mode=cfg.negative_mode,
                 )
             else:
                 contrast, new_protos = jnp.float32(0.0), state.prototypes

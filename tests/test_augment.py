@@ -33,7 +33,9 @@ def test_identity_geometry():
         jnp.asarray(vhw), crop_hw=(64, 64), scale_range=(1.0, 1.0),
         augmentation=False,
     )
-    np.testing.assert_allclose(np.asarray(oi), img, atol=1e-6)
+    # image resampling is bf16 on the MXU: ~uint8-level quantization, on par
+    # with the reference's uint8 PIL round trip
+    np.testing.assert_allclose(np.asarray(oi), img, atol=5e-3)
     np.testing.assert_array_equal(np.asarray(ol), lab)
     np.testing.assert_allclose(np.asarray(oc), conf, atol=1e-6)
 
@@ -53,7 +55,7 @@ def test_downscale_pad_matches_torch_bilinear_and_pil_nearest():
         torch.from_numpy(img), size=(32, 32),
         mode="bilinear", align_corners=False, antialias=False,
     ).numpy()
-    np.testing.assert_allclose(oi[:, :, :32, :32], want, atol=1e-5)
+    np.testing.assert_allclose(oi[:, :, :32, :32], want, atol=1e-2)
 
     # nearest labels with PIL's half-pixel convention: src = floor((i+.5)*2)
     idx = np.floor((np.arange(32) + 0.5) * 2).astype(int)

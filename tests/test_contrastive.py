@@ -77,7 +77,17 @@ def test_contrastive_closed_form_two_singleton_classes():
         return float(m + np.log(np.exp(logits - m).sum()) - logits[0])
 
     want = (infonce(1.0, cos_ab) + infonce(1.0, cos_ab)) / 2
-    assert abs(float(loss) - want) < 1e-4
+    assert abs(float(loss) - want) < 2e-3  # negatives are bf16 rows
+
+    # expected-negatives mode: with a single forced negative pixel the
+    # expectation equals the sampled sum exactly
+    loss_e, _ = prototype_contrastive_loss(
+        jnp.asarray(rep), jnp.asarray(onehot), jnp.asarray(mask),
+        jnp.asarray(prob), jnp.zeros((c, d)), jax.random.key(0),
+        num_queries=q, num_negatives=g, temp=temp, strong_threshold=0.97,
+        alpha=0.99, negative_mode="expected",
+    )
+    assert abs(float(loss_e) - want) < 2e-3
     # prototypes initialized to the singleton means
     np.testing.assert_allclose(np.asarray(new_protos)[0], rep[0, 0, 0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_protos)[1], rep[0, 1, 1], atol=1e-5)

@@ -1,0 +1,120 @@
+"""Data pipeline tests: loader semantics, splits, native decode parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from css_tpu.data import BatchLoader, InfiniteLoader, read_split_lists
+from css_tpu.data.datasets import SyntheticSpec, VOCSpec
+
+
+def test_split_protocol(tmp_path):
+    d = tmp_path / "92" / "3407"
+    d.mkdir(parents=True)
+    (d / "labeled_filename.txt").write_text("a\nb\n")
+    (d / "unlabeled_filename.txt").write_text("c\n")
+    (d / "valid_filename.txt").write_text("d\ne\nf\n")
+    l, u, v = read_split_lists(str(tmp_path), 92, 3407)
+    assert l == ["a", "b"] and u == ["c"] and v == ["d", "e", "f"]
+
+
+def test_loader_epoch_shuffle_and_drop_last():
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    ids = [f"s{i}" for i in range(10)]
+    loader = BatchLoader(spec, ids, batch_size=3, seed=1, shuffle=True,
+                         drop_last=True)
+    loader.set_epoch(0)
+    b0 = [b["image"].sum() for b in loader]
+    assert len(loader) == 3 and len(b0) == 3
+    loader.set_epoch(1)
+    b1 = [b["image"].sum() for b in loader]
+    assert b0 != b1  # re-shuffled
+    loader.set_epoch(0)
+    b0_again = [b["image"].sum() for b in loader]
+    assert b0 == b0_again  # deterministic per epoch
+
+
+def test_loader_sharding_partitions():
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    ids = [f"s{i}" for i in range(12)]
+    seen = []
+    for shard in range(3):
+        loader = BatchLoader(spec, ids, batch_size=2, seed=0, shuffle=True,
+                             drop_last=True, num_shards=3, shard_index=shard)
+        loader.set_epoch(0)
+        for b in loader:
+            seen.append(b["image"][0].tobytes())
+    assert len(seen) == len(set(seen)) == 6  # 3 shards x 2 batches, disjoint
+
+
+def test_infinite_loader_cycles():
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    loader = BatchLoader(spec, [f"s{i}" for i in range(4)], batch_size=2,
+                         seed=0)
+    inf = InfiniteLoader(loader)
+    batches = [next(inf) for _ in range(5)]
+    assert all(b["image"].shape == (2, 16, 16, 3) for b in batches)
+
+
+def test_eval_padding_masks_partial_batch():
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    loader = BatchLoader(spec, [f"s{i}" for i in range(5)], batch_size=4,
+                         shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["valid"].tolist() == [True, False, False, False]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native",
+                                    "libcss_io.so")),
+    reason="native runtime not built",
+)
+def test_native_decode_matches_pil(tmp_path):
+    from PIL import Image
+
+    from css_tpu.data import native_io
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    lab = rng.integers(0, 21, size=(37, 53), dtype=np.uint8)
+    jpg = str(tmp_path / "x.jpg")
+    png = str(tmp_path / "x.png")
+    Image.fromarray(img).save(jpg, quality=95)
+    Image.fromarray(lab, mode="L").save(png)
+
+    canvas = np.zeros((64, 64, 3), np.uint8)
+    hw = native_io.decode_jpeg_canvas(jpg, canvas)
+    assert hw == (37, 53)
+    pil = np.asarray(Image.open(jpg).convert("RGB"))
+    np.testing.assert_array_equal(canvas[:37, :53], pil)  # same libjpeg
+
+    lcanvas = np.full((64, 64), 255, np.int32)
+    hw = native_io.decode_png_label_canvas(png, lcanvas)
+    assert hw == (37, 53)
+    np.testing.assert_array_equal(lcanvas[:37, :53], lab)
+    assert (lcanvas[37:] == 255).all()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native",
+                                    "libcss_io.so")),
+    reason="native runtime not built",
+)
+def test_voc_spec_native_path(tmp_path):
+    from PIL import Image
+
+    os.makedirs(tmp_path / "JPEGImages")
+    os.makedirs(tmp_path / "SegmentationClassAug")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    lab = rng.integers(0, 21, size=(40, 30), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "JPEGImages" / "s.jpg", quality=95)
+    Image.fromarray(lab, mode="L").save(tmp_path / "SegmentationClassAug" / "s.png")
+
+    spec = VOCSpec(root=str(tmp_path), canvas_hw=(64, 64))
+    icanvas, lcanvas, vhw = spec.load("s")
+    assert vhw.tolist() == [40, 30]
+    np.testing.assert_array_equal(lcanvas[:40, :30], lab)
+    assert icanvas[:40, :30].mean() > 0
