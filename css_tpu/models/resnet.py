@@ -75,18 +75,20 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # BatchNorm statistics always accumulate in f32: with bf16 compute a
+        # mean over 512^2 bf16 activations would lose ~3 decimal digits.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
             scale_init=nn.initializers.zeros if self.zero_init_scale else nn.initializers.ones,
             axis_name=self.axis_name if train else None,
-            dtype=self.dtype,
+            dtype=jnp.float32,
             name="bn",
         )(x)
         if self.relu:
             x = nn.relu(x)
-        return x
+        return x.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
