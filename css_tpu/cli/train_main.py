@@ -76,11 +76,19 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
     crop = tuple(cfg.require("Dataset.crop_size"))
     scale = tuple(cfg.require("Dataset.scale_size"))
 
+    import jax.numpy as _jnp
+
+    dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
+        cfg.get("Network.dtype", "bfloat16")
+    ]
     model = build_model(
         num_classes=num_classes,
         output_dim=output_dim,
         backbone=cfg.get("Network.backbone", "resnet101"),
+        dtype=dtype,
         axis_name=DATA_AXIS,
+        remat=bool(cfg.get("Network.remat",
+                           cfg.get("Dataset.name") == "CityScapes")),
     )
     tx = make_optimizer(
         base_lr=float(cfg.require("Optim.lr")),

@@ -112,6 +112,7 @@ def build_model(
     output_stride: int = 8,
     dtype: Any = jnp.float32,
     axis_name: Optional[str] = None,
+    remat: bool = False,
 ) -> DeepLabV3PlusDual:
     """Build the student/teacher network.
 
@@ -119,9 +120,9 @@ def build_model(
     or ``resnet101_stem`` (deep stem, Cityscapes option — ori_pseudo.py:71-72).
     """
     if backbone == "resnet101":
-        trunk = resnet101(output_stride, dtype=dtype, axis_name=axis_name)
+        trunk = resnet101(output_stride, dtype=dtype, axis_name=axis_name, remat=remat)
     elif backbone == "resnet101_stem":
-        trunk = resnet101_stem(output_stride, dtype=dtype, axis_name=axis_name)
+        trunk = resnet101_stem(output_stride, dtype=dtype, axis_name=axis_name, remat=remat)
     elif backbone == "tiny":
         trunk = resnet_tiny(output_stride, dtype=dtype, axis_name=axis_name)
     else:

@@ -158,10 +158,16 @@ class ResNetBackbone(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False  # recompute each bottleneck in backward (769^2 crops)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,),
+                     policy=jax.checkpoint_policies.nothing_saveable)
+            if self.remat else Bottleneck
+        )
         if self.deep_stem:
             x = ConvBN(64, 3, 2, relu=True, name="stem1", **kw)(x, train)
             x = ConvBN(64, 3, 1, relu=True, name="stem2", **kw)(x, train)
@@ -177,7 +183,7 @@ class ResNetBackbone(nn.Module):
         for si, spec in enumerate(self.stages):
             for bi in range(spec.blocks):
                 first = bi == 0
-                x = Bottleneck(
+                x = block_cls(
                     planes=spec.planes,
                     stride=spec.stride if first else 1,
                     dilation=spec.first_dilation if first else spec.rest_dilation,
@@ -231,7 +237,7 @@ def _stage_specs(layers: Sequence[int], output_stride: int, multi_grid: bool) ->
 
 
 def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
-              axis_name: Optional[str] = None) -> ResNetBackbone:
+              axis_name: Optional[str] = None, remat: bool = False) -> ResNetBackbone:
     """Plain-stem ResNet-101 trunk (torchvision weight-compatible)."""
     return ResNetBackbone(
         stages=_stage_specs([3, 4, 23, 3], output_stride, multi_grid=False),
@@ -239,6 +245,7 @@ def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
         zero_init_residual=False,
         dtype=dtype,
         axis_name=axis_name,
+        remat=remat,
     )
 
 
@@ -261,7 +268,7 @@ def resnet_tiny(output_stride: int = 8, dtype: Any = jnp.float32,
 
 
 def resnet101_stem(output_stride: int = 8, dtype: Any = jnp.float32,
-                   axis_name: Optional[str] = None) -> ResNetBackbone:
+                   axis_name: Optional[str] = None, remat: bool = False) -> ResNetBackbone:
     """Deep-stem multi-grid ResNet-101 trunk (reference ResNet_Stem)."""
     return ResNetBackbone(
         stages=_stage_specs([3, 4, 23, 3], output_stride, multi_grid=True),
@@ -269,4 +276,5 @@ def resnet101_stem(output_stride: int = 8, dtype: Any = jnp.float32,
         zero_init_residual=True,
         dtype=dtype,
         axis_name=axis_name,
+        remat=remat,
     )

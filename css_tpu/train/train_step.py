@@ -239,24 +239,6 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
             unsup_conf = u_confs[:, 0]
         conf_cls = u_confs[:, 0]
 
-        # ---- contrastive-loss inputs at rep resolution (ori_pseudo.py:170-180) ----
-        h4, w4 = ch // 4, cw // 4
-
-        def to_rep_res(x):
-            return nearest_resize(x, (h4, w4), convention="torch")
-
-        l_small = to_rep_res(l_label)
-        mask_l = to_rep_res((l_label >= 0).astype(jnp.float32))
-        mask_u = to_rep_res((conf_cls >= cfg.weak_threshold).astype(jnp.float32))
-        if cfg.strategy == "mix":
-            # label_onehot_2 + slice: ignore stays all-zero (mix_label.py:181-182)
-            oh_u = label_onehot_ignore(to_rep_res(u_labels[:, 0]), c)
-        else:
-            oh_u = label_onehot(to_rep_res(u_labels[:, 0]), c)
-        oh_l = label_onehot(l_small, c)
-        label_all = jnp.concatenate([oh_l, oh_u])
-        mask_all = jnp.concatenate([mask_l, mask_u])
-
         def loss_fn(params):
             stats = state.batch_stats
             (pred_l, rep_l), upd = model.apply(
@@ -277,6 +259,26 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
             unsup = attention_threshold_loss(
                 pred_u_large, unsup_label, unsup_conf, cfg.un_threshold
             )
+
+            # ---- contrastive inputs at the model's rep resolution
+            # (ori_pseudo.py:170-180; /4 stride, but e.g. 769 -> 193 so the
+            # size comes from the actual output, not crop//4) ----
+            rep_hw = (pred_l.shape[1], pred_l.shape[2])
+
+            def to_rep_res(x):
+                return nearest_resize(x, rep_hw, convention="torch")
+
+            l_small = to_rep_res(l_label)
+            mask_l = to_rep_res((l_label >= 0).astype(jnp.float32))
+            mask_u = to_rep_res(
+                (conf_cls >= cfg.weak_threshold).astype(jnp.float32))
+            if cfg.strategy == "mix":
+                # label_onehot_2 + slice: ignore all-zero (mix_label.py:181-182)
+                oh_u = label_onehot_ignore(to_rep_res(u_labels[:, 0]), c)
+            else:
+                oh_u = label_onehot(to_rep_res(u_labels[:, 0]), c)
+            label_all = jnp.concatenate([label_onehot(l_small, c), oh_u])
+            mask_all = jnp.concatenate([mask_l, mask_u])
 
             rep_all = jnp.concatenate([rep_l, rep_u])
             if cfg.strategy == "ori":
