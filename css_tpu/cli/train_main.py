@@ -219,7 +219,19 @@ def _evaluate(eval_step, state, test_loader, crop, num_classes, rng):
     return cm.miou
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the 512^2/769^2 steps take minutes
+    to compile; cache hits make restarts and resumes near-instant."""
+    try:
+        cache_dir = os.environ.get("CSS_TPU_CACHE", "/tmp/css_tpu_xla_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def run_training(strategy: str, args) -> dict:
+    _enable_compilation_cache()
     cfg = load_config(args.config)
     _apply_cli_shadows(cfg, args, strategy)
 
@@ -318,8 +330,13 @@ def run_training(strategy: str, args) -> dict:
                 f"unsup {float(m['unsup']):.4f} contrast {float(m['contrast']):.4f}) "
                 f"{timer.summary()} Time {time.asctime()}"
             )
-            if miou >= best_miou and jax.process_index() == 0:
-                save_checkpoint(ckpt_path, state, epoch + 1, miou)
+            if jax.process_index() == 0:
+                if miou >= best_miou:
+                    save_checkpoint(ckpt_path, state, epoch + 1, miou)
+                # rolling recovery point (crash-resume without losing the
+                # best-model contract; the reference had no recovery story)
+                save_checkpoint(os.path.join(save_dir, "last_model"),
+                                state, epoch + 1, miou)
         else:
             log.info(f"Epoch:{epoch} * Time {time.asctime()} {timer.summary()}")
         if done:

@@ -152,6 +152,23 @@ class SyntheticSpec(_CanvasSpec):
         return img, lab
 
 
+# Cityscapes raw labelIds -> 19 trainIds (cityscapesScripts labels table;
+# the reference carries the same map unused at Cityscapes.py:194-217 because
+# its label files are already *_gtFine_trainIds — provided here for users
+# whose datasets only have labelIds).
+_CITYSCAPES_ID_TO_TRAIN = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
+    23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18,
+}
+
+
+def cityscapes_labelids_to_trainids(mask: np.ndarray) -> np.ndarray:
+    out = np.full_like(mask, 255)
+    for raw, train in _CITYSCAPES_ID_TO_TRAIN.items():
+        out[mask == raw] = train
+    return out
+
+
 def build_dataset_specs(name: str, data_dir: str, canvas_hw: Tuple[int, int],
                         num_classes: int = 21):
     """(train_spec, test_spec) for a dataset name (VOC|CityScapes|Synthetic)."""

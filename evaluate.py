@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Standalone checkpoint evaluation: confusion-matrix mIoU on the val split.
+
+The reference has no inference/eval entry point — evaluation only happens
+inside the training loop (ori_pseudo.py:191-211).  This CLI evaluates any
+saved checkpoint (teacher by default, like the training loop; ``--student``
+for the student weights) and prints per-class IoU + mIoU.
+
+    python evaluate.py --config css_tpu/config/VOC_config_baseline.yaml \
+        --checkpoint checkpoints/VOC_92_baseline/best_model \
+        --num_labels 92 [--synthetic]
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str,
+                   default="css_tpu/config/VOC_config_baseline.yaml")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--num_labels", type=int, default=92)
+    p.add_argument("--student", action="store_true",
+                   help="evaluate the student instead of the EMA teacher")
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--txt_dir", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from css_tpu.cli.train_main import _evaluate, _make_loaders
+    from css_tpu.config import load_config
+    from css_tpu.models import build_model
+    from css_tpu.train.checkpoint import restore_checkpoint
+    from css_tpu.train.state import create_train_state, make_optimizer
+    from css_tpu.train.train_step import make_eval_step
+
+    cfg = load_config(args.config)
+    if args.data_dir:
+        cfg.set("Dataset.data_dir", args.data_dir)
+    if args.txt_dir:
+        cfg.set("Dataset.txt_dir", args.txt_dir)
+    if args.synthetic:
+        cfg.set("Dataset.name", "Synthetic")
+
+    num_classes = cfg.require("Network.num_class")
+    crop = tuple(cfg.require("Dataset.crop_size"))
+    model = build_model(
+        num_classes=num_classes,
+        output_dim=cfg.get("Network.output_dim", 256),
+        backbone=cfg.get("Network.backbone", "resnet101"),
+        dtype=jnp.bfloat16 if cfg.get("Network.dtype", "bfloat16") == "bfloat16"
+        else jnp.float32,
+    )
+    tx = make_optimizer(1e-3, 0.0, 1)
+    state = create_train_state(
+        jax.random.key(0), model, tx, (1, crop[0], crop[1], 3),
+        num_classes=num_classes, output_dim=cfg.get("Network.output_dim", 256),
+    )
+    state, epoch, best = restore_checkpoint(args.checkpoint, state)
+    if args.student:
+        state = state.replace(ema_params=state.params,
+                              ema_batch_stats=state.batch_stats)
+
+    class _A:  # loader args shim
+        num_labels = args.num_labels
+        synthetic = args.synthetic
+
+    batch = cfg.require("Dataset.batch_size") * jax.device_count()
+    _, _, test_loader = _make_loaders(cfg, _A, batch)
+    eval_step = jax.jit(make_eval_step(model, num_classes))
+    miou = _evaluate(eval_step, state, test_loader, crop, num_classes,
+                     jax.random.key(cfg.get("Seed", 3407)))
+    which = "student" if args.student else "teacher"
+    print(f"checkpoint epoch {epoch} ({which}): mIoU {miou:.4f} "
+          f"(best recorded {best:.4f})")
+
+
+if __name__ == "__main__":
+    main()
