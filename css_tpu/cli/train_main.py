@@ -320,9 +320,16 @@ def run_training(strategy: str, args) -> dict:
         )
         if eval_now:
             rng, erng = jax.random.split(rng)
-            miou = _evaluate(eval_step, state, test_loader, crop,
-                             step_cfg.num_classes, erng)
-            best_miou = max(best_miou, miou)
+            try:
+                miou = _evaluate(eval_step, state, test_loader, crop,
+                                 step_cfg.num_classes, erng)
+            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                # transient runtime/compile failures must not kill a long
+                # training run; skip this eval and keep training
+                log.info(f"WARNING eval failed ({type(e).__name__}: {e}); "
+                         "skipping this evaluation")
+                miou = -1.0
+            best_miou = max(best_miou, miou) if miou >= 0 else best_miou
             m = jax.device_get(metrics)
             log.info(
                 f"Epoch:{epoch} * mIoU {miou:.4f} Best_mIoU {best_miou:.4f} "

@@ -146,9 +146,21 @@ class SyntheticSpec(_CanvasSpec):
         else:
             h = max(int(self.canvas_hw[0] * 0.95), 1)
             w = max(int(self.canvas_hw[1] * 0.75), 1)
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        lab = rng.integers(0, self.num_classes, size=(h, w)).astype(np.int32)
-        lab[rng.random((h, w)) < 0.05] = 255
+        # learnable task: smooth color blobs whose quantized brightness is
+        # the label — end-to-end runs show real mIoU improvement, unlike
+        # iid noise
+        yy = np.linspace(0, 4 * np.pi, h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, w)[None, :]
+        ph = rng.random(6) * 2 * np.pi
+        fr = rng.random(6) * 1.5 + 0.25
+        field = sum(np.sin(fr[i] * yy + ph[i]) * np.cos(fr[i + 3] * xx + ph[i + 3])
+                    for i in range(3))
+        field = (field - field.min()) / max(float(np.ptp(field)), 1e-6)
+        img = np.stack([field, field ** 2, 1.0 - field], axis=-1)
+        img = np.clip(img * 255 + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(np.uint8)
+        lab = np.minimum((field * self.num_classes).astype(np.int32),
+                         self.num_classes - 1)
+        lab[rng.random((h, w)) < 0.02] = 255
         return img, lab
 
 

@@ -239,7 +239,7 @@ def prototype_contrastive_loss(
             body, jnp.float32(0.0),
             (anchors, cdf, u_cls, u_pix, protos_n, contribute),
         )
-    elif negative_mode == "expected":
+    elif negative_mode in ("expected", "expected_pallas"):
         # per-pixel mixture weight for class i's negatives: w_n =
         # p_i[class(n)] / count_class(n) over member pixels (0 elsewhere);
         # one-hot of the class-in-sorted-order gives w as a [N,C+1]@[C+1]
@@ -250,18 +250,26 @@ def prototype_contrastive_loss(
         p_over_cnt = jnp.pad(p / jnp.maximum(counts_f, 1.0)[None, :],
                              ((0, 0), (0, 1)))                  # [C, C+1]
 
+        use_pallas = negative_mode == "expected_pallas"
+
         @functools.partial(jax.checkpoint,
                            policy=jax.checkpoint_policies.nothing_saveable)
         def class_loss_exp(anchor_c, wrow, proto_c):
             a = _l2_normalize(anchor_c, axis=-1)
             pos = (a @ proto_c) / temp                          # [Q]
             w = sorted_onehot @ wrow                            # [N]
-            sims = jax.lax.dot_general(
-                a.astype(jnp.bfloat16), rep_sorted_n,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / temp                                            # [Q, N]
-            neg_sum = jnp.exp(sims) @ w                         # [Q]
+            if use_pallas:
+                from css_tpu.ops.pallas import weighted_exp_softsum
+
+                neg_sum = weighted_exp_softsum(
+                    a, rep_sorted_n, w, 1.0 / temp)             # [Q]
+            else:
+                sims = jax.lax.dot_general(
+                    a.astype(jnp.bfloat16), rep_sorted_n,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / temp                                        # [Q, N]
+                neg_sum = jnp.exp(sims) @ w                     # [Q]
             return jnp.mean(jnp.log(jnp.exp(pos) + g * neg_sum) - pos)
 
         def body_exp(total, inputs):

@@ -1,0 +1,63 @@
+"""Pallas kernel correctness (interpret mode on CPU, compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from css_tpu.ops.pallas import contrastive_kernels as ck
+
+
+@pytest.fixture(autouse=True)
+def _interpret_on_cpu(monkeypatch):
+    if jax.default_backend() != "tpu":
+        import jax.experimental.pallas as pl
+
+        orig = pl.pallas_call
+
+        def patched(*args, **kw):
+            kw.setdefault("interpret", True)
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(pl, "pallas_call", patched)
+        monkeypatch.setattr(ck.pl, "pallas_call", patched)
+    yield
+
+
+def _case(seed, q=16, d=128, n=3000):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((q, d)).astype(np.float32) * 0.1
+    r = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    w = (rng.random(n) * (rng.random(n) < 0.7)).astype(np.float32)
+    return a, r, w
+
+
+def test_weighted_exp_softsum_forward():
+    a, r, w = _case(0)
+    inv_t = 2.0
+    got = np.asarray(ck.weighted_exp_softsum(
+        jnp.asarray(a), jnp.asarray(r, jnp.bfloat16), jnp.asarray(w), inv_t))
+    logits = (a.astype(np.float32) @ np.asarray(
+        jnp.asarray(r, jnp.bfloat16).astype(jnp.float32)).T) * inv_t
+    want = (np.exp(logits) * w[None, :]).sum(1)
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+
+
+def test_weighted_exp_softsum_grad():
+    a, r, w = _case(1, q=8, d=128, n=2048)
+    inv_t = 2.0
+
+    def f(aa):
+        return jnp.sum(jnp.log(ck.weighted_exp_softsum(
+            aa, jnp.asarray(r, jnp.bfloat16), jnp.asarray(w), inv_t)))
+
+    got = np.asarray(jax.grad(f)(jnp.asarray(a)))
+
+    def f_ref(aa):
+        logits = (aa @ jnp.asarray(r, jnp.bfloat16).astype(jnp.float32).T) * inv_t
+        s = (jnp.exp(logits) * w[None, :]).sum(1)
+        return jnp.sum(jnp.log(s))
+
+    want = np.asarray(jax.grad(f_ref)(jnp.asarray(a)))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-3)

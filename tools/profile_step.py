@@ -49,23 +49,25 @@ def main(mode: str):
         args = (state.params, state.batch_stats, x)
         run = lambda i: fn(*args)
     elif mode == "teacher":
-        from css_tpu.ops.augment import batch_transform, normalize_imagenet
+        from css_tpu.ops.augment import (batch_transform, normalize_imagenet,
+                                         to_channel_first, to_channel_last)
         from css_tpu.ops.interpolate import bilinear_resize
         from css_tpu.ops.mixing import mix_batch
 
         @jax.jit
         def fn(state, batch, key):
-            u = batch["u_image"]
+            u_cf = to_channel_first(batch["u_image"])
+            u = to_channel_last(normalize_imagenet(u_cf, channel_axis=-3))
             (pred, _), _ = model.apply(
                 {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-                normalize_imagenet(u), train=True, mutable=["batch_stats"])
+                u, train=True, mutable=["batch_stats"])
             large = bilinear_resize(pred, (CROP, CROP), align_corners=True)
             probs = jax.nn.softmax(large, axis=-1)
             conf = jnp.max(probs, -1)
             lab = jnp.argmax(probs, -1).astype(jnp.int32)
             hw = jnp.full((BATCH, 2), CROP, jnp.int32)
             k1, k2, k3 = jax.random.split(key, 3)
-            img, labs, confs = batch_transform(k1, u, lab[:, None], conf[:, None],
+            img, labs, confs = batch_transform(k1, u_cf, lab[:, None], conf[:, None],
                                                hw, (CROP, CROP), (0.5, 1.5), False)
             img, labs, confs = mix_batch(k2, img, labs, confs, "cutmix", 21)
             img, labs, confs = batch_transform(k3, img, labs, confs, hw,
