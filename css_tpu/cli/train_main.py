@@ -282,6 +282,8 @@ def run_training(strategy: str, args) -> dict:
     ))
 
     u_iter = InfiniteLoader(train_u, start_epoch)
+    # run-constant base key: the step derives its stream from state.step
+    step_rng = jax.random.key(seed + 1)
     done = False
     for epoch in range(start_epoch, total_epoch):
         train_l.set_epoch(epoch)
@@ -301,9 +303,8 @@ def run_training(strategy: str, args) -> dict:
                     "u_image": batch_u["image"],
                     "u_valid_hw": batch_u["valid_hw"],
                 }
-                rng, krng = jax.random.split(rng)
                 state, metrics = train_step(
-                    state, shard_batch(mesh, batch), krng,
+                    state, shard_batch(mesh, batch), step_rng,
                     jnp.float32(weight), jnp.asarray(use_rep),
                 )
                 timer.tick()
@@ -341,9 +342,11 @@ def run_training(strategy: str, args) -> dict:
                 if miou >= best_miou:
                     save_checkpoint(ckpt_path, state, epoch + 1, miou)
                 # rolling recovery point (crash-resume without losing the
-                # best-model contract; the reference had no recovery story)
-                save_checkpoint(os.path.join(save_dir, "last_model"),
-                                state, epoch + 1, miou)
+                # best-model contract; the reference had no recovery story);
+                # throttled — a full-state write is ~1 GB
+                if epoch % 10 == 0 or done or epoch == total_epoch - 1:
+                    save_checkpoint(os.path.join(save_dir, "last_model"),
+                                    state, epoch + 1, miou)
         else:
             log.info(f"Epoch:{epoch} * Time {time.asctime()} {timer.summary()}")
         if done:

@@ -199,6 +199,10 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
              contrast_weight: jax.Array, use_rep_labels: jax.Array):
+        # ``rng`` is a run-constant base key; deriving the per-step stream
+        # from state.step INSIDE the jit keeps the driver free of per-step
+        # host->device PRNG round trips (28 ms each on a remote-TPU link).
+        rng = jax.random.fold_in(rng, state.step)
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         k_laug, k_ucrop, k_teacher, k_contrast = jax.random.split(rng, 4)
