@@ -35,11 +35,6 @@ import jax.numpy as jnp
 __all__ = ["ResNetBackbone", "resnet101", "resnet101_stem", "StageSpec"]
 
 
-def kaiming_normal_fan_out():
-    """He-normal with fan_out, matching ``nn.init.kaiming_normal_(mode='fan_out')``."""
-    return nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
-
-
 # torch kaiming_normal_ draws from an untruncated normal; use normal for parity.
 def _torch_kaiming_normal_fan_out(key, shape, dtype=jnp.float32):
     # HWIO: fan_out = H * W * O
