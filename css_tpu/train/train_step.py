@@ -78,6 +78,9 @@ class StepConfig:
     ema_alpha: float = 0.99
     contrast_enabled: bool = True             # Loss.is_available in the YAML
     negative_mode: str = "sampled"            # sampled (reference) | expected
+    fused_forward: bool = False               # one student pass over l+u
+    # (opt-in: BN batch stats then pool over both halves, whereas the
+    # reference runs two forwards with per-half statistics)
 
 
 def _remap_ignore(labels: jax.Array, num_classes: int) -> jax.Array:
@@ -245,16 +248,28 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
 
         def loss_fn(params):
             stats = state.batch_stats
-            (pred_l, rep_l), upd = model.apply(
-                {"params": params, "batch_stats": stats}, l_img, train=True,
-                mutable=["batch_stats"],
-            )
-            stats = upd["batch_stats"]
-            (pred_u, rep_u), upd = model.apply(
-                {"params": params, "batch_stats": stats}, u_img, train=True,
-                mutable=["batch_stats"],
-            )
-            stats = upd["batch_stats"]
+            if cfg.fused_forward:
+                (pred_b, rep_b), upd = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    jnp.concatenate([l_img, u_img]), train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = upd["batch_stats"]
+                pred_l, pred_u = pred_b[:bl], pred_b[bl:]
+                rep_l, rep_u = rep_b[:bl], rep_b[bl:]
+            else:
+                # two sequential forwards, per-half BN statistics — exactly
+                # the reference's module-call order (ddp_model.py:60-64)
+                (pred_l, rep_l), upd = model.apply(
+                    {"params": params, "batch_stats": stats}, l_img, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = upd["batch_stats"]
+                (pred_u, rep_u), upd = model.apply(
+                    {"params": params, "batch_stats": stats}, u_img, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = upd["batch_stats"]
 
             pred_l_large = bilinear_resize(pred_l, (ch, cw), align_corners=True)
             pred_u_large = bilinear_resize(pred_u, (ch, cw), align_corners=True)

@@ -69,6 +69,18 @@ def test_single_device_step(strategy):
     assert np.isfinite(float(m2["total"]))
 
 
+def test_fused_forward_and_expected_negatives():
+    """Opt-in perf paths: fused student pass + expected negatives."""
+    model, state, step = _tiny_setup(fused_forward=True, negative_mode="expected")
+    batch = {k: jnp.asarray(v) for k, v in _batch(2, seed=9).items()}
+    new_state, metrics = jax.jit(step)(
+        state, batch, jax.random.key(4), jnp.float32(1.0), jnp.asarray(False)
+    )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(metrics["contrast"]) > 0
+
+
 def test_ohem_supervised_path():
     model, state, step = _tiny_setup(sup_loss="ohem", ohem_min_kept_per_image=64)
     batch = {k: jnp.asarray(v) for k, v in _batch(2, seed=3).items()}
