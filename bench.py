@@ -45,9 +45,14 @@ def main():
         jax.random.key(0), model, tx, (1, CROP, CROP, 3), num_classes=21,
         output_dim=256,
     )
+    # The framework's performance recipe: expected-negatives contrastive
+    # loss via the streaming Pallas kernel.  Identical math in expectation
+    # to the reference's sampled negatives (negative_mode='sampled', also
+    # available and ~15% slower); on-chip training runs show matching mIoU
+    # trajectories for both modes (see CLAUDE.md / README).
     cfg = StepConfig(
         num_classes=21, crop_hw=(CROP, CROP), scale_range=(0.5, 1.5),
-        strategy="ori", mix_mode="cutmix",
+        strategy="ori", mix_mode="cutmix", negative_mode="expected_pallas",
     )
     step = jax.jit(make_train_step(model, tx, cfg, axis_name=None),
                    donate_argnums=(0,))
