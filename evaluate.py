@@ -29,6 +29,12 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args()
 
+    import os
+    import sys
+
+    if not os.path.exists(args.checkpoint):
+        sys.exit(f"error: checkpoint not found: {args.checkpoint}")
+
     import jax
     import jax.numpy as jnp
 
