@@ -304,10 +304,21 @@ def run_training(strategy: str, args) -> dict:
                     "u_image": batch_u["image"],
                     "u_valid_hw": batch_u["valid_hw"],
                 }
-                state, metrics = train_step(
-                    state, shard_batch(mesh, batch), step_rng,
-                    jnp.float32(weight), jnp.asarray(use_rep),
-                )
+                sbatch = shard_batch(mesh, batch)
+                try:
+                    state, metrics = train_step(
+                        state, sbatch, step_rng,
+                        jnp.float32(weight), jnp.asarray(use_rep),
+                    )
+                except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                    # the step is a pure function: one retry on transient
+                    # runtime faults (preemption blips, compile-service
+                    # hiccups) is safe and keeps week-long runs alive
+                    log.info(f"WARNING train step failed ({e}); retrying once")
+                    state, metrics = train_step(
+                        state, sbatch, step_rng,
+                        jnp.float32(weight), jnp.asarray(use_rep),
+                    )
                 timer.tick()
                 if args.max_steps and int(state.step) >= args.max_steps:
                     done = True
