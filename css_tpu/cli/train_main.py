@@ -40,6 +40,7 @@ from css_tpu.train.schedulers import rampdown_value
 from css_tpu.train.state import create_train_state, make_optimizer
 from css_tpu.train.train_step import StepConfig, make_eval_step, make_train_step
 from css_tpu.utils import ConfusionMatrix, Logger
+from css_tpu.utils.logging import ScalarWriter
 from css_tpu.utils.profiling import StepTimer, maybe_profile
 
 __all__ = ["run_training", "add_common_args"]
@@ -245,6 +246,7 @@ def run_training(strategy: str, args) -> dict:
     save_dir = os.path.join(cfg.get("Training_Setting.save_dir", "./checkpoints"),
                             str(args.job_name))
     log = Logger(os.path.join(save_dir, "train.log"), rank=jax.process_index())
+    tb = ScalarWriter(os.path.join(save_dir, "tb"), rank=jax.process_index())
     if jax.process_index() == 0:
         dump_config(cfg, save_dir)
     log.info(f"devices={n_dev} strategy={strategy} "
@@ -344,6 +346,11 @@ def run_training(strategy: str, args) -> dict:
                 miou = -1.0
             best_miou = max(best_miou, miou) if miou >= 0 else best_miou
             m = jax.device_get(metrics)
+            tb.scalars(int(jax.device_get(state.step)), {
+                "eval/miou": miou, "loss/total": float(m["total"]),
+                "loss/sup": float(m["sup"]), "loss/unsup": float(m["unsup"]),
+                "loss/contrast": float(m["contrast"]),
+            })
             log.info(
                 f"Epoch:{epoch} * mIoU {miou:.4f} Best_mIoU {best_miou:.4f} "
                 f"loss {float(m['total']):.4f} (sup {float(m['sup']):.4f} "

@@ -36,3 +36,33 @@ class Logger:
     def close(self) -> None:
         if self._fh is not None:
             self._fh.close()
+
+
+class ScalarWriter:
+    """Optional TensorBoard scalars (rank 0).
+
+    The reference pins tensorboard/tensorboardX in requirements but never
+    imports them (SURVEY.md section 5); here it's a working facility, and a
+    silent no-op if tensorboardX is unavailable.
+    """
+
+    def __init__(self, log_dir: Optional[str], rank: int = 0):
+        self._w = None
+        if log_dir and rank == 0:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._w = SummaryWriter(log_dir)
+            except Exception:
+                self._w = None
+
+    def scalars(self, step: int, values: dict) -> None:
+        if self._w is None:
+            return
+        for k, v in values.items():
+            self._w.add_scalar(k, float(v), step)
+        self._w.flush()
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
