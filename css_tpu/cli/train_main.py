@@ -284,6 +284,10 @@ def run_training(strategy: str, args) -> dict:
         cfg.get("Ramp_Scheduler.ramp_mult", -5.0),
     ))
 
+    # continuous unlabeled stream cycling with per-epoch reshuffles.  (The
+    # reference instead re-creates its infinite iterator every labeled
+    # epoch, so it only ever consumes a prefix of each unlabeled epoch;
+    # cycling through full passes covers the unlabeled set evenly.)
     u_iter = InfiniteLoader(train_u, start_epoch)
     # run-constant base key: the step derives its stream from state.step
     step_rng = jax.random.key(seed + 1)
