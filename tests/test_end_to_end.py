@@ -71,6 +71,25 @@ def test_training_driver_smoke(tmp_path, strategy):
 
 
 @pytest.mark.slow
+def test_driver_resume_continues(tmp_path):
+    """--resume picks up epoch/step/prototypes and keeps training."""
+    from css_tpu.cli.train_main import run_training
+
+    cfgp = _tiny_yaml(tmp_path)
+    r1 = run_training("ori", _args(cfgp, tmp_path, "resumejob", max_steps=2))
+    assert r1["steps"] == 2
+    ckpt = tmp_path / "ckpt" / "resumejob" / "best_model"
+    assert ckpt.exists()
+
+    r2 = run_training(
+        "ori", _args(cfgp, tmp_path, "resumejob2", max_steps=4,
+                     resume=str(ckpt)),
+    )
+    # restored step counter (2) plus continued training up to the cap
+    assert r2["steps"] >= 4
+
+
+@pytest.mark.slow
 def test_checkpoint_resume_round_trip(tmp_path):
     import jax
     from css_tpu.models import build_model
