@@ -19,7 +19,6 @@ native/); the Python thread pool is the portable default.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from typing import Iterator, List, Optional
 
 import numpy as np

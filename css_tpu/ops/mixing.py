@@ -29,7 +29,6 @@ each rank generates its own (unseeded) masks for its shard.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ metadata.  Cross-label's ``--prototypes_resume`` (cross_label.py:93-96) is
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

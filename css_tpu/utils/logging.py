@@ -8,7 +8,6 @@ facility, active on process 0 only.
 from __future__ import annotations
 
 import os
-import sys
 import time
 from typing import Optional
 
