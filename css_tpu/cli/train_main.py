@@ -33,7 +33,13 @@ from css_tpu.data import BatchLoader, InfiniteLoader, build_dataset_specs, read_
 from css_tpu.models import build_model
 from css_tpu.models.convert import convert_resnet_backbone, load_torch_state_dict
 from css_tpu.ops.augment import batch_transform
-from css_tpu.parallel import DATA_AXIS, data_mesh, shard_batch, sharded_train_step
+from css_tpu.parallel import (
+    DATA_AXIS,
+    data_mesh,
+    shard_batch,
+    sharded_eval_step,
+    sharded_train_step,
+)
 from css_tpu.train.checkpoint import load_prototypes, restore_checkpoint, save_checkpoint
 from css_tpu.train.schedulers import rampdown_value
 from css_tpu.train.state import create_train_state, make_optimizer
@@ -135,7 +141,7 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         fused_forward=bool(cfg.get("Training_Setting.fused_forward", False)),
     )
     train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
-    eval_step = jax.jit(make_eval_step(model, num_classes))
+    eval_step = sharded_eval_step(make_eval_step(model, num_classes, DATA_AXIS), mesh)
     return model, state, step_cfg, train_step, eval_step
 
 
@@ -193,10 +199,21 @@ def _make_loaders(cfg, args, local_batch):
     )
 
 
-def _evaluate(eval_step, state, test_loader, crop, num_classes, rng):
+def _evaluate(eval_step, state, test_loader, crop, num_classes, rng,
+              mesh=None):
     """Teacher eval: pad/crop each batch on device then accumulate the
-    confusion matrix (the reference's random test crop, VOC.py:44-45)."""
+    confusion matrix (the reference's random test crop, VOC.py:44-45).
+
+    The batch axis is sharded over the (global) device mesh and eval_step
+    psums the per-shard counts over that axis — on a multi-host run, where
+    each process's loader holds 1/P of the val split (_make_loaders) and the
+    mesh spans every process's devices, that single psum IS the cross-process
+    reduction (the reference's ``torch_dist_sum`` of the matrix,
+    ori_pseudo.py:208-209).  Returns the accumulated ConfusionMatrix
+    (``.miou`` / ``.iou``).
+    """
     from css_tpu.ops.augment import normalize_imagenet, to_channel_first, to_channel_last
+    from css_tpu.parallel import shard_array
 
     cm = ConfusionMatrix(num_classes)
     mat = jnp.zeros((num_classes, num_classes), jnp.int32)
@@ -211,13 +228,16 @@ def _evaluate(eval_step, state, test_loader, crop, num_classes, rng):
             jnp.asarray(batch["valid_hw"]), crop_hw=crop,
             scale_range=(1.0, 1.0), augmentation=False,
         )
-        mat = eval_step(
-            state.ema_params, state.ema_batch_stats, mat,
-            to_channel_last(normalize_imagenet(img_c, channel_axis=-3)),
-            lab_c[:, 0], jnp.asarray(batch["valid"]),
-        )
+        image = to_channel_last(normalize_imagenet(img_c, channel_axis=-3))
+        label, valid = lab_c[:, 0], jnp.asarray(batch["valid"])
+        if mesh is not None:
+            image, label, valid = (shard_array(mesh, image),
+                                   shard_array(mesh, label),
+                                   shard_array(mesh, valid))
+        mat = eval_step(state.ema_params, state.ema_batch_stats, mat,
+                        image, label, valid)
     cm.update(jax.device_get(mat))
-    return cm.miou
+    return cm
 
 
 def _enable_compilation_cache():
@@ -240,7 +260,12 @@ def run_training(strategy: str, args) -> dict:
     mesh = data_mesh(args.num_devices)
     n_dev = mesh.devices.size
     per_dev_batch = cfg.require("Dataset.batch_size")
-    local_batch = per_dev_batch * n_dev
+    # each process loads rows only for ITS devices in the mesh; shard_array
+    # assembles the global batch across processes (multi-host DP)
+    local_mesh_devices = sum(int(d.process_index == jax.process_index())
+                             for d in mesh.devices.flat)
+    local_batch = per_dev_batch * local_mesh_devices
+    global_batch = per_dev_batch * n_dev
 
     save_dir = os.path.join(cfg.get("Training_Setting.save_dir", "./checkpoints"),
                             str(args.job_name))
@@ -249,7 +274,7 @@ def run_training(strategy: str, args) -> dict:
     if jax.process_index() == 0:
         dump_config(cfg, save_dir)
     log.info(f"devices={n_dev} strategy={strategy} "
-             f"batch/device={per_dev_batch} global_batch={local_batch * jax.process_count()}")
+             f"batch/device={per_dev_batch} global_batch={global_batch}")
 
     model, state, step_cfg, train_step, eval_step = _build_state_and_steps(
         cfg, args, strategy, mesh
@@ -340,7 +365,7 @@ def run_training(strategy: str, args) -> dict:
             rng, erng = jax.random.split(rng)
             try:
                 miou = _evaluate(eval_step, state, test_loader, crop,
-                                 step_cfg.num_classes, erng)
+                                 step_cfg.num_classes, erng, mesh).miou
             except jax.errors.JaxRuntimeError as e:  # pragma: no cover
                 # transient runtime/compile failures must not kill a long
                 # training run; skip this eval and keep training

@@ -5,10 +5,16 @@ iterator_`` stack (ori_pseudo.py:41-58, utils.py:168-188):
 
 * per-epoch seeded global permutation, sharded across hosts — the
   ``DistributedSampler.set_epoch`` contract (ori_pseudo.py:155-157) as a
-  pure function of (seed, epoch);
+  pure function of (seed, epoch); shards are padded to EQUAL length (train:
+  wrap-around oversampling like DistributedSampler; eval: masked pad
+  entries) so every process sees the same number of batches — mismatched
+  counts would deadlock the collective train/eval steps on a multi-host
+  mesh;
 * ``drop_last`` batching for train, padded+masked final batch for eval;
 * a thread pool decodes records into pinned numpy canvases one batch ahead
   (decode is the only host work left — all augmentation is on device);
+  batch assembly runs on a SEPARATE single-purpose pool so assembly futures
+  can never starve waiting on decode workers from the same pool;
 * ``InfiniteLoader`` cycles epochs with re-shuffling, the analog of the
   reference's infinite unlabeled iterator.
 
@@ -58,16 +64,37 @@ class BatchLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
-        self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        # decode work and batch assembly use DISJOINT pools: _make_batch
+        # blocks on decode results, so sharing one pool deadlocks as soon as
+        # every worker is an assembly task waiting on decode slots
+        # (prefetch + 1 >= num_workers).
+        self._decode_pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        self._batch_pool = cf.ThreadPoolExecutor(max_workers=prefetch + 1)
         self.prefetch = prefetch
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def _shard_ids(self) -> List[str]:
-        order = _epoch_permutation(len(self.ids), self.seed, self.epoch, self.shuffle)
-        mine = order[self.shard_index::self.num_shards]
-        return [self.ids[i] for i in mine]
+    def _shard_ids(self) -> List[Optional[str]]:
+        """This shard's sample ids, padded so every shard has EQUAL length.
+
+        Train (shuffle=True) pads by wrapping the permutation — the
+        ``DistributedSampler`` oversampling contract; eval pads with ``None``
+        entries that become masked (valid=False) batch rows, so global
+        metrics count every sample exactly once.
+        """
+        n = len(self.ids)
+        order = _epoch_permutation(n, self.seed, self.epoch, self.shuffle)
+        if self.num_shards > 1:
+            per = -(-n // self.num_shards)
+            pad = per * self.num_shards - n
+            if pad:
+                if self.shuffle:
+                    order = np.concatenate([order, order[:pad]])
+                else:
+                    order = np.concatenate([order, np.full(pad, -1)])
+            order = order[self.shard_index::self.num_shards]
+        return [self.ids[i] if i >= 0 else None for i in order]
 
     def __len__(self) -> int:
         n = len(self._shard_ids())
@@ -75,8 +102,9 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _make_batch(self, ids: List[str]) -> dict:
-        records = list(self._pool.map(self.spec.load, ids))
+    def _make_batch(self, ids: List[Optional[str]]) -> dict:
+        real = [s for s in ids if s is not None]
+        records = list(self._decode_pool.map(self.spec.load, real))
         b = self.batch_size
         ch, cw = self.spec.canvas_hw
         image = np.zeros((b, ch, cw, 3), np.uint8)
@@ -106,7 +134,7 @@ class BatchLoader:
                 chunk = next(submit_iter)
             except StopIteration:
                 return
-            futures.append(self._pool.submit(self._make_batch, chunk))
+            futures.append(self._batch_pool.submit(self._make_batch, chunk))
 
         for _ in range(self.prefetch + 1):
             _submit_next()

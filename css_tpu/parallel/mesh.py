@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 __all__ = ["DATA_AXIS", "data_mesh", "distributed_init", "shard_batch",
-           "sharded_train_step"]
+           "sharded_train_step", "sharded_eval_step", "cross_process_sum"]
 
 
 def distributed_init(coordinator: Optional[str] = None,
@@ -58,10 +58,23 @@ def data_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def shard_array(mesh: Mesh, x: Any) -> jax.Array:
+    """Place one host array with its leading axis sharded over ``data``.
+
+    Single-host: a plain device_put.  Multi-host: ``x`` holds this process's
+    LOCAL rows and the result is the global array assembled across processes
+    (global batch = local batch x process_count), the jax-native equivalent
+    of each DDP rank feeding its own shard.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Place host arrays with the batch axis sharded over ``data``."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: shard_array(mesh, v) for k, v in batch.items()}
 
 
 def sharded_train_step(step_fn, mesh: Mesh):
@@ -82,3 +95,36 @@ def sharded_train_step(step_fn, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def sharded_eval_step(eval_fn, mesh: Mesh):
+    """Wrap a per-shard eval step (make_eval_step with axis_name=DATA_AXIS)
+    with shard_map + jit: batch inputs sharded over ``data``, model state and
+    the confusion matrix replicated, psum inside makes the output matrix the
+    full-batch update on every replica.  This is the device-sharded eval the
+    reference lacks (every DDP rank there evaluates the FULL val set,
+    ori_pseudo.py:191-211 / SURVEY.md section 3.3).
+    """
+    mapped = jax.shard_map(
+        eval_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def cross_process_sum(x: np.ndarray) -> np.ndarray:
+    """Sum a host array across all jax processes (no-op single-host).
+
+    The multi-host analog of the reference's ``torch_dist_sum``
+    (util/torch_dist_sum.py:1-20), used to reduce the eval confusion matrix
+    so each process's val-split shard contributes exactly once.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    return np.asarray(gathered).sum(axis=0)

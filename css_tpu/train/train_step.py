@@ -353,13 +353,18 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
     return step
 
 
-def make_eval_step(model, num_classes: int):
+def make_eval_step(model, num_classes: int, axis_name: Optional[str] = None):
     """Confusion-matrix accumulation step over the EMA teacher in eval mode.
 
     The reference evaluates the *teacher* (ori_pseudo.py:129,191-211).
     ``valid`` masks padded batch entries so the last partial batch is exact.
     Returns an update of the [C, C] int32 confusion matrix; rows = target,
     cols = prediction (util/meter.py:40-48).
+
+    With ``axis_name`` (shard_map over the device mesh) each shard counts its
+    slice of the batch and the delta is ``psum``'d, so the returned matrix is
+    the full-batch update on every replica — the device-level analog of the
+    reference's cross-rank ``torch_dist_sum`` (ori_pseudo.py:208-209).
     """
 
     def eval_step(params, batch_stats, conf_mat, image, label, valid):
@@ -371,6 +376,9 @@ def make_eval_step(model, num_classes: int):
         ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
         idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
         binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
-        return conf_mat + binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
+        delta = binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
+        if axis_name is not None:
+            delta = jax.lax.psum(delta, axis_name)
+        return conf_mat + delta
 
     return eval_step

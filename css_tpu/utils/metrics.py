@@ -11,19 +11,24 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["ConfusionMatrix", "mean_iou", "AverageMeter"]
+__all__ = ["ConfusionMatrix", "mean_iou", "per_class_iou", "AverageMeter"]
 
 
-def mean_iou(mat: np.ndarray) -> float:
-    """mIoU = mean_c diag / (rowsum + colsum - diag); NaN classes excluded
-    the way torch.mean over NaNs would poison — so empty classes yield NaN,
-    matching the reference exactly (miou.py:3-8)."""
+def per_class_iou(mat: np.ndarray) -> np.ndarray:
+    """IoU per class = diag / (rowsum + colsum - diag); empty classes are NaN
+    (miou.py:3-8 computes exactly this vector before the mean)."""
     mat = np.asarray(mat, np.float64)
     diag = np.diag(mat)
     denom = mat.sum(1) + mat.sum(0) - diag
     with np.errstate(divide="ignore", invalid="ignore"):
-        iou = diag / denom
-    return float(np.mean(iou))
+        return diag / denom
+
+
+def mean_iou(mat: np.ndarray) -> float:
+    """mIoU = mean_c of the per-class IoU; NaN classes poison the mean the
+    way torch.mean over NaNs would, matching the reference exactly
+    (miou.py:3-8)."""
+    return float(np.mean(per_class_iou(mat)))
 
 
 class ConfusionMatrix:
@@ -40,6 +45,10 @@ class ConfusionMatrix:
     @property
     def miou(self) -> float:
         return mean_iou(self.mat)
+
+    @property
+    def iou(self) -> np.ndarray:
+        return per_class_iou(self.mat)
 
 
 class AverageMeter:

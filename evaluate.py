@@ -41,6 +41,7 @@ def main():
     from css_tpu.cli.train_main import _evaluate, _make_loaders
     from css_tpu.config import load_config
     from css_tpu.models import build_model
+    from css_tpu.parallel import DATA_AXIS, data_mesh, sharded_eval_step
     from css_tpu.train.checkpoint import restore_checkpoint
     from css_tpu.train.state import create_train_state, make_optimizer
     from css_tpu.train.train_step import make_eval_step
@@ -76,14 +77,36 @@ def main():
         num_labels = args.num_labels
         synthetic = args.synthetic
 
-    batch = cfg.require("Dataset.batch_size") * jax.device_count()
+    mesh = data_mesh()
+    batch = cfg.require("Dataset.batch_size") * mesh.devices.size
     _, _, test_loader = _make_loaders(cfg, _A, batch)
-    eval_step = jax.jit(make_eval_step(model, num_classes))
-    miou = _evaluate(eval_step, state, test_loader, crop, num_classes,
-                     jax.random.key(cfg.get("Seed", 3407)))
+    eval_step = sharded_eval_step(make_eval_step(model, num_classes, DATA_AXIS),
+                                  mesh)
+    cm = _evaluate(eval_step, state, test_loader, crop, num_classes,
+                   jax.random.key(cfg.get("Seed", 3407)), mesh)
     which = "student" if args.student else "teacher"
-    print(f"checkpoint epoch {epoch} ({which}): mIoU {miou:.4f} "
+    names = _class_names(num_classes)
+    for i, (name, iou) in enumerate(zip(names, cm.iou)):
+        print(f"  class {i:2d} {name:<15s} IoU "
+              f"{'nan' if np.isnan(iou) else f'{iou:.4f}'}")
+    print(f"checkpoint epoch {epoch} ({which}): mIoU {cm.miou:.4f} "
           f"(best recorded {best:.4f})")
+
+
+def _class_names(num_classes: int):
+    """Human-readable class names for per-class IoU printing."""
+    voc = ["background", "aeroplane", "bicycle", "bird", "boat", "bottle",
+           "bus", "car", "cat", "chair", "cow", "diningtable", "dog",
+           "horse", "motorbike", "person", "pottedplant", "sheep", "sofa",
+           "train", "tvmonitor"]
+    cityscapes = ["road", "sidewalk", "building", "wall", "fence", "pole",
+                  "traffic light", "traffic sign", "vegetation", "terrain",
+                  "sky", "person", "rider", "car", "truck", "bus", "train",
+                  "motorcycle", "bicycle"]
+    for names in (voc, cityscapes):
+        if len(names) == num_classes:
+            return names
+    return [f"class_{i}" for i in range(num_classes)]
 
 
 if __name__ == "__main__":

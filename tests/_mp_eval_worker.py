@@ -1,0 +1,89 @@
+"""Worker for the 2-process jax.distributed localhost smoke test.
+
+Each process owns 2 virtual CPU devices and feeds DIFFERENT local batch rows
+into the sharded eval step over the 4-device global mesh; the psum inside the
+step must produce the full-batch confusion matrix on every process — the
+multi-host analog of the reference's ``torch_dist_sum(rank, mat)``
+(ori_pseudo.py:208-209, util/torch_dist_sum.py:1-20).
+
+Usage: python tests/_mp_eval_worker.py <process_id> <port>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid, port = int(sys.argv[1]), int(sys.argv[2])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    import numpy as np
+
+    from css_tpu.models import build_model
+    from css_tpu.parallel import (
+        cross_process_sum,
+        data_mesh,
+        distributed_init,
+        shard_array,
+        sharded_eval_step,
+    )
+    from css_tpu.train.state import create_train_state, make_optimizer
+    from css_tpu.train.train_step import make_eval_step
+
+    distributed_init(coordinator=f"localhost:{port}", num_processes=2,
+                     process_id=pid)
+    assert jax.process_count() == 2 and jax.device_count() == 4
+
+    crop, c = 32, 6
+    model = build_model(num_classes=c, output_dim=16, backbone="tiny")
+    tx = make_optimizer(1e-2, 5e-4, 10)
+    # same seed on both processes -> identical replicated params
+    state = create_train_state(jax.random.key(0), model, tx,
+                               (1, crop, crop, 3), num_classes=c, output_dim=16)
+
+    # the full global batch is derivable on both processes (seeded), each
+    # feeds only its own 2 rows
+    rng = np.random.default_rng(42)
+    img_all = rng.random((4, crop, crop, 3), dtype=np.float32)
+    lab_all = rng.integers(-1, c, size=(4, crop, crop)).astype(np.int32)
+    valid_all = np.array([True, True, True, False])
+
+    mesh = data_mesh()
+    step = sharded_eval_step(make_eval_step(model, c, "data"), mesh)
+    sl = slice(2 * pid, 2 * pid + 2)
+    import jax.numpy as jnp
+
+    mat = step(
+        state.ema_params, state.ema_batch_stats,
+        jnp.zeros((c, c), jnp.int32),
+        shard_array(mesh, img_all[sl]),
+        shard_array(mesh, lab_all[sl]),
+        shard_array(mesh, valid_all[sl]),
+    )
+    mat = np.asarray(jax.device_get(mat))
+
+    # reference: the same counts computed locally from the full batch
+    single = jax.jit(make_eval_step(model, c))(
+        state.ema_params, state.ema_batch_stats,
+        jnp.zeros((c, c), jnp.int32),
+        jnp.asarray(img_all), jnp.asarray(lab_all), jnp.asarray(valid_all),
+    )
+    np.testing.assert_array_equal(mat, np.asarray(jax.device_get(single)))
+
+    # host-side reduction utility: each process contributes its local count
+    local = np.full((3,), pid + 1, np.int64)
+    total = cross_process_sum(local)
+    np.testing.assert_array_equal(total, np.full((3,), 3, np.int64))
+
+    print(f"proc {pid}: multihost eval ok, matrix_total={mat.sum()}")
+
+
+if __name__ == "__main__":
+    main()

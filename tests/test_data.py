@@ -66,6 +66,46 @@ def test_eval_padding_masks_partial_batch():
     assert batches[1]["valid"].tolist() == [True, False, False, False]
 
 
+def test_no_deadlock_when_prefetch_exceeds_workers():
+    """Regression (VERDICT r1 weak #4): batch-assembly futures used to share
+    the decode pool, deadlocking once prefetch + 1 >= num_workers."""
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    loader = BatchLoader(spec, [f"s{i}" for i in range(12)], batch_size=2,
+                         seed=0, shuffle=True, drop_last=True,
+                         num_workers=2, prefetch=2)
+    assert len(list(loader)) == 6
+
+
+def test_shards_have_equal_batch_counts():
+    """Unequal per-shard batch counts would deadlock collective train/eval
+    steps on a multi-host mesh; shards must pad to equal length."""
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    ids = [f"s{i}" for i in range(11)]  # 11 does not divide by 2 shards
+
+    # train: wrap-around oversampling, all rows valid
+    train_counts, train_seen = [], []
+    for shard in range(2):
+        loader = BatchLoader(spec, ids, batch_size=2, seed=0, shuffle=True,
+                             drop_last=True, num_shards=2, shard_index=shard)
+        batches = list(loader)
+        train_counts.append(len(batches))
+        for b in batches:
+            assert b["valid"].all()
+            train_seen.append(b["image"][0].tobytes())
+    assert train_counts[0] == train_counts[1] == 3
+
+    # eval: pad entries masked invalid; every sample counted exactly once
+    eval_counts, valid_total = [], 0
+    for shard in range(2):
+        loader = BatchLoader(spec, ids, batch_size=2, seed=0, shuffle=False,
+                             drop_last=False, num_shards=2, shard_index=shard)
+        batches = list(loader)
+        eval_counts.append(len(batches))
+        valid_total += sum(int(b["valid"].sum()) for b in batches)
+    assert eval_counts[0] == eval_counts[1] == 3
+    assert valid_total == 11
+
+
 @pytest.mark.skipif(
     not os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native",
                                     "libcss_io.so")),

@@ -28,3 +28,7 @@ def test_evaluate_cli_round_trip(tmp_path, capsys, monkeypatch):
     assert "mIoU" in out
     miou = float(out.split("mIoU")[1].split()[0])
     assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+    # per-class IoU vector is printed (one line per class, docstring promise)
+    class_lines = [l for l in out.splitlines() if l.strip().startswith("class")]
+    assert len(class_lines) == 6  # tiny config has 6 classes
+    assert all("IoU" in l for l in class_lines)
