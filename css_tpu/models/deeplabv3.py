@@ -79,6 +79,7 @@ class DeepLabV3PlusDual(nn.Module):
     backbone: ResNetBackbone
     num_classes: int = 21
     output_dim: int = 256
+    output_stride: int = 8
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
@@ -100,9 +101,14 @@ class DeepLabV3PlusDual(nn.Module):
 
     def _aspp_rates(self):
         # output stride 8 -> [12, 24, 36]; 16 -> [6, 12, 18]
-        # (deeplabv3.py:93-100); infer from the trunk's stage schedule.
-        os8 = any(s.stride == 1 for s in self.backbone.stages[2:3])
-        return (12, 24, 36) if os8 else (6, 12, 18)
+        # (deeplabv3.py:93-100).  Received explicitly rather than inferred
+        # from the trunk's stage schedule, which silently broke for
+        # non-canonical schedules.
+        if self.output_stride == 8:
+            return (12, 24, 36)
+        if self.output_stride == 16:
+            return (6, 12, 18)
+        raise ValueError(f"unsupported output_stride {self.output_stride}")
 
 
 def build_model(
@@ -131,6 +137,7 @@ def build_model(
         backbone=trunk,
         num_classes=num_classes,
         output_dim=output_dim,
+        output_stride=output_stride,
         dtype=dtype,
         axis_name=axis_name,
     )

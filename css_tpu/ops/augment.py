@@ -47,8 +47,9 @@ import jax.numpy as jnp
 
 from css_tpu.ops.photometric import random_photometric
 
-__all__ = ["geometric_transform", "batch_transform", "normalize_imagenet",
-           "denormalize_imagenet", "to_channel_first", "to_channel_last"]
+__all__ = ["apply_geometric", "geometric_transform", "batch_transform",
+           "normalize_imagenet", "denormalize_imagenet", "to_channel_first",
+           "to_channel_last"]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -92,13 +93,15 @@ def _reflect_index(idx, size):
     return jnp.where(size > 1, jnp.minimum(m, period - m), 0)
 
 
-def _axis_maps(rng, out_size: int, valid, ratio, crop):
-    """Per-axis backward mapping.  Returns (bilinear lo idx, hi idx, frac,
-    nearest idx, oob mask) — all 1-D of length out_size."""
+def _axis_maps(u_off, out_size: int, valid, ratio, crop):
+    """Per-axis backward mapping.  ``u_off`` is a uniform [0,1) draw for the
+    crop offset (kept explicit so tests can force exact geometry).  Returns
+    (bilinear lo idx, hi idx, frac, nearest idx, oob mask) — all 1-D of
+    length out_size."""
     v = valid.astype(jnp.float32)
     r = jnp.maximum(jnp.floor(v * ratio), 1.0)          # resized extent
     p = jnp.maximum(r, crop)                            # padded extent
-    off = jnp.floor(jax.random.uniform(rng) * (p - crop + 1.0))
+    off = jnp.floor(u_off * (p - crop + 1.0))
     pos = jnp.arange(out_size, dtype=jnp.float32) + off  # padded coords
     oob = pos >= r
     rpos = _reflect_index(pos, r)
@@ -112,23 +115,25 @@ def _axis_maps(rng, out_size: int, valid, ratio, crop):
     return lo_i, hi_i, frac, near, oob
 
 
-def geometric_transform(
-    rng: jax.Array,
+def apply_geometric(
     image: jax.Array,          # [3, H, W] float in [0,1]
     labels: jax.Array,         # [K, H, W] int32 (-1 = ignore)
     confs: jax.Array,          # [L, H, W] float confidence maps
     valid_hw: jax.Array,       # [2] int32 valid region of the canvas
     crop_hw: Tuple[int, int],
-    scale_range: Tuple[float, float],
-    augmentation: bool,
+    ratio: jax.Array,          # scalar scale ratio
+    u_y: jax.Array,            # uniform [0,1) crop-offset draws per axis
+    u_x: jax.Array,
 ):
-    """One image through scale->pad->crop->(photo, flip); channel-first."""
-    ch, cw = crop_hw
-    k_scale, k_i, k_j, k_photo, k_flip = jax.random.split(rng, 5)
-    ratio = jax.random.uniform(k_scale, minval=scale_range[0], maxval=scale_range[1])
+    """Deterministic scale->pad(reflect)->crop given explicit parameters.
 
-    ylo, yhi, wy, ynear, y_oob = _axis_maps(k_i, ch, valid_hw[0], ratio, ch)
-    xlo, xhi, wx, xnear, x_oob = _axis_maps(k_j, cw, valid_hw[1], ratio, cw)
+    Factored out of :func:`geometric_transform` so the differential fidelity
+    suite can force the exact (ratio, crop offset) drawn by the reference's
+    ``transform`` (VOC.py:64-92) and compare outputs pixel-for-pixel.
+    """
+    ch, cw = crop_hw
+    ylo, yhi, wy, ynear, y_oob = _axis_maps(u_y, ch, valid_hw[0], ratio, ch)
+    xlo, xhi, wx, xnear, x_oob = _axis_maps(u_x, cw, valid_hw[1], ratio, cw)
 
     # Separable bilinear as two matmuls on the MXU: the per-image 2-tap
     # interpolation matrices A [ch, H] / B [cw, W] are built with one_hot and
@@ -162,6 +167,26 @@ def geometric_transform(
     out_labels = jnp.where(in_pad[None], -1, out_labels)
     out_confs = picked[k:]
     out_confs = jnp.where(in_pad[None], 0.0, out_confs)
+    return out_img, out_labels, out_confs
+
+
+def geometric_transform(
+    rng: jax.Array,
+    image: jax.Array,          # [3, H, W] float in [0,1]
+    labels: jax.Array,         # [K, H, W] int32 (-1 = ignore)
+    confs: jax.Array,          # [L, H, W] float confidence maps
+    valid_hw: jax.Array,       # [2] int32 valid region of the canvas
+    crop_hw: Tuple[int, int],
+    scale_range: Tuple[float, float],
+    augmentation: bool,
+):
+    """One image through scale->pad->crop->(photo, flip); channel-first."""
+    k_scale, k_i, k_j, k_photo, k_flip = jax.random.split(rng, 5)
+    ratio = jax.random.uniform(k_scale, minval=scale_range[0], maxval=scale_range[1])
+    out_img, out_labels, out_confs = apply_geometric(
+        image, labels, confs, valid_hw, crop_hw, ratio,
+        jax.random.uniform(k_i), jax.random.uniform(k_j),
+    )
 
     if augmentation:
         out_img = random_photometric(k_photo, out_img)
