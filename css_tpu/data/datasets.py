@@ -68,8 +68,10 @@ class _CanvasSpec:
         lcanvas = np.full((ch, cw), 255, np.int32)
         if img_path.endswith(".jpg") or img_path.endswith(".jpeg"):
             hw = native_io.decode_jpeg_canvas(img_path, icanvas)
+        elif img_path.endswith(".png"):
+            hw = native_io.decode_png_rgb_canvas(img_path, icanvas)
         else:
-            hw = None  # PNG images (Cityscapes) stay on the PIL path for now
+            hw = None
         if hw is None:
             return None
         if lab_path is not None and os.path.exists(lab_path):
@@ -113,6 +115,15 @@ class CityscapesSpec(_CanvasSpec):
     root: str = ""
     mode: str = "train"  # train | val
     canvas_hw: Tuple[int, int] = (1024, 2048)
+
+    def _paths(self, sample_id: str):
+        city = sample_id[: sample_id.find("_")]
+        lab_id = sample_id[: -len("_leftImg8bit")] + "_gtFine_trainIds"
+        return (
+            os.path.join(self.root, "leftImg8bit", self.mode, city,
+                         f"{sample_id}.png"),
+            os.path.join(self.root, "gtFine", self.mode, city, f"{lab_id}.png"),
+        )
 
     def _decode(self, sample_id: str):
         from PIL import Image

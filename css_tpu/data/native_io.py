@@ -13,7 +13,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "decode_jpeg_canvas", "decode_png_label_canvas"]
+__all__ = ["native_available", "decode_jpeg_canvas", "decode_png_label_canvas",
+           "decode_png_rgb_canvas"]
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -40,6 +41,13 @@ def _lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "css_decode_png_rgb_canvas"):
+        lib.css_decode_png_rgb_canvas.restype = ctypes.c_int
+        lib.css_decode_png_rgb_canvas.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
     _LIB = lib
     return _LIB
 
@@ -58,6 +66,22 @@ def decode_jpeg_canvas(path: str, canvas: np.ndarray) -> Optional[Tuple[int, int
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.css_decode_jpeg_canvas(
+        path.encode(), canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        canvas.shape[0], canvas.shape[1], ctypes.byref(h), ctypes.byref(w),
+    )
+    return (h.value, w.value) if rc == 0 else None
+
+
+def decode_png_rgb_canvas(path: str, canvas: np.ndarray) -> Optional[Tuple[int, int]]:
+    """Decode an RGB PNG image into a pre-filled uint8 [H, W, 3] canvas
+    (in place) — the Cityscapes leftImg8bit path.  Returns (h, w) or None."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "css_decode_png_rgb_canvas"):
+        return None
+    assert canvas.dtype == np.uint8 and canvas.flags["C_CONTIGUOUS"]
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.css_decode_png_rgb_canvas(
         path.encode(), canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         canvas.shape[0], canvas.shape[1], ctypes.byref(h), ctypes.byref(w),
     )

@@ -9,9 +9,13 @@
 // intermediate copy on the host path device <- canvas <- decode.
 //
 // Exposed C API (see css_tpu/data/native_io.py):
-//   css_decode_jpeg_canvas  — JPEG file -> RGB uint8 canvas (padded 0)
-//   css_decode_png_canvas   — PNG file  -> single-channel int32 canvas
-//                             (palette/gray label maps; padded with `fill`)
+//   css_decode_jpeg_canvas    — JPEG file -> RGB uint8 canvas (padded 0)
+//   css_decode_png_canvas     — PNG file  -> single-channel int32 canvas
+//                               (palette/gray label maps; padded with `fill`)
+//   css_decode_png_rgb_canvas — PNG file  -> RGB uint8 canvas (Cityscapes
+//                               leftImg8bit 2048x1024 images — the biggest
+//                               decode cost in the pipeline,
+//                               reference Cityscapes.py:219-225)
 //   css_version
 //
 // Build: make -C native (g++ -O3 -shared, links libjpeg/libpng/zlib).
@@ -141,6 +145,73 @@ int css_decode_png_canvas(const char* path, int32_t* canvas, int canvas_h,
     } else {
       // RGB label maps: take the first channel (trainIds are replicated)
       for (int x = 0; x < w; ++x) dst[x] = row[static_cast<size_t>(x) * channels];
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+// Decode an RGB(A)/palette/gray PNG image into an RGB uint8 canvas of
+// canvas_h x canvas_w (row-major, 3 channels).  libpng transforms normalize
+// every color type to 8-bit RGB; rows are written directly into the canvas
+// (one memcpy-free scanline pass).  Returns 0 on success.
+int css_decode_png_rgb_canvas(const char* path, uint8_t* canvas, int canvas_h,
+                              int canvas_w, int* out_h, int* out_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  png_byte header[8];
+  if (fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(f);
+    return 2;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return 3;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  const int h = static_cast<int>(png_get_image_height(png, info));
+  const int w = static_cast<int>(png_get_image_width(png, info));
+  if (h > canvas_h || w > canvas_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return 4;
+  }
+  const png_byte color = png_get_color_type(png, info);
+  const png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  if (png_get_channels(png, info) != 3 || png_get_bit_depth(png, info) != 8) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return 5;
+  }
+
+  if (w == canvas_w) {
+    // canvas rows are contiguous with image rows: single sequential pass
+    std::vector<png_bytep> rows(static_cast<size_t>(h));
+    for (int y = 0; y < h; ++y)
+      rows[y] = canvas + static_cast<size_t>(y) * canvas_w * 3;
+    png_read_image(png, rows.data());
+  } else {
+    for (int y = 0; y < h; ++y) {
+      png_bytep dst = canvas + static_cast<size_t>(y) * canvas_w * 3;
+      png_read_row(png, dst, nullptr);
     }
   }
   png_destroy_read_struct(&png, &info, nullptr);

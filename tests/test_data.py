@@ -158,3 +158,52 @@ def test_voc_spec_native_path(tmp_path):
     assert vhw.tolist() == [40, 30]
     np.testing.assert_array_equal(lcanvas[:40, :30], lab)
     assert icanvas[:40, :30].mean() > 0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native",
+                                    "libcss_io.so")),
+    reason="native runtime not built",
+)
+def test_cityscapes_spec_native_png_decode(tmp_path):
+    """RGB-PNG images (Cityscapes leftImg8bit) decode natively, bit-exact vs
+    PIL, including the padded-canvas and valid-extent bookkeeping."""
+    from PIL import Image
+
+    from css_tpu.data import native_io
+    from css_tpu.data.datasets import CityscapesSpec
+
+    sid = "aachen_000000_000019_leftImg8bit"
+    os.makedirs(tmp_path / "leftImg8bit" / "train" / "aachen")
+    os.makedirs(tmp_path / "gtFine" / "train" / "aachen")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(50, 70, 3), dtype=np.uint8)
+    lab = rng.integers(0, 19, size=(50, 70), dtype=np.uint8)
+    lab[0, 0] = 255
+    Image.fromarray(img).save(
+        tmp_path / "leftImg8bit" / "train" / "aachen" / f"{sid}.png")
+    Image.fromarray(lab, mode="L").save(
+        tmp_path / "gtFine" / "train" / "aachen" /
+        "aachen_000000_000019_gtFine_trainIds.png")
+
+    # direct binding: lossless RGB decode
+    canvas = np.zeros((64, 96, 3), np.uint8)
+    path = str(tmp_path / "leftImg8bit" / "train" / "aachen" / f"{sid}.png")
+    assert native_io.decode_png_rgb_canvas(path, canvas) == (50, 70)
+    np.testing.assert_array_equal(canvas[:50, :70], img)
+    assert (canvas[50:] == 0).all() and (canvas[:, 70:] == 0).all()
+
+    # exact-width canvas takes the contiguous png_read_image fast path
+    tight = np.zeros((50, 70, 3), np.uint8)
+    assert native_io.decode_png_rgb_canvas(path, tight) == (50, 70)
+    np.testing.assert_array_equal(tight, img)
+
+    # spec path goes native end to end (monkeypatch-free check: PIL fallback
+    # would also pass equality, so assert the native call itself succeeds
+    # above, then the spec output)
+    spec = CityscapesSpec(root=str(tmp_path), mode="train", canvas_hw=(64, 96))
+    icanvas, lcanvas, vhw = spec.load(sid)
+    assert vhw.tolist() == [50, 70]
+    np.testing.assert_array_equal(icanvas[:50, :70], img)
+    np.testing.assert_array_equal(lcanvas[:50, :70], lab.astype(np.int32))
+    assert (lcanvas[50:] == 255).all()
