@@ -138,7 +138,9 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         ema_alpha=cfg.get("EMA.alpha", 0.99),
         contrast_enabled=bool(cfg.get("Loss.is_available", True)),
         negative_mode=cfg.get("Loss.negative_mode", "sampled"),
-        fused_forward=bool(cfg.get("Training_Setting.fused_forward", False)),
+        # default on: GroupedBatchNorm keeps exact per-half BN semantics
+        # inside the fused batch (train_step.py StepConfig)
+        fused_forward=bool(cfg.get("Training_Setting.fused_forward", True)),
     )
     train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
     eval_step = sharded_eval_step(make_eval_step(model, num_classes, DATA_AXIS), mesh)
@@ -240,6 +242,32 @@ def _evaluate(eval_step, state, test_loader, crop, num_classes, rng,
     return cm
 
 
+def _device_prefetch(batches, mesh, depth: int = 2):
+    """Double-buffered host->device transfer.
+
+    ``shard_batch`` (device_put) is dispatched ``depth`` batches ahead of
+    the consuming step, so the H2D copy of batch N+1 (tens of MB of canvases)
+    overlaps the device compute of batch N instead of serializing with it
+    (reference analog: DataLoader ``pin_memory`` + implicit CUDA copy
+    streams, ori_pseudo.py:41-58).
+    """
+    import collections
+
+    q = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            q.append(shard_batch(mesh, next(it)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        for b in it:
+            q.append(shard_batch(mesh, b))
+            break
+        yield out
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the 512^2/769^2 steps take minutes
     to compile; cache hits make restarts and resumes near-instant."""
@@ -324,17 +352,19 @@ def run_training(strategy: str, args) -> dict:
             weight = ramp(epoch) if args.sche else 1.0
         use_rep = bool(strategy == "cross" and epoch >= warmup)
 
-        with maybe_profile(args.profile_dir, epoch == start_epoch):
+        def _epoch_batches():
             for batch_l in train_l:
                 batch_u = next(u_iter)
-                batch = {
+                yield {
                     "l_image": batch_l["image"],
                     "l_label": batch_l["label"],
                     "l_valid_hw": batch_l["valid_hw"],
                     "u_image": batch_u["image"],
                     "u_valid_hw": batch_u["valid_hw"],
                 }
-                sbatch = shard_batch(mesh, batch)
+
+        with maybe_profile(args.profile_dir, epoch == start_epoch):
+            for sbatch in _device_prefetch(_epoch_batches(), mesh):
                 try:
                     state, metrics = train_step(
                         state, sbatch, step_rng,

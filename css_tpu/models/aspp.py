@@ -30,15 +30,15 @@ class ASPP(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        branches = [ConvBN(self.features, 1, name="conv1x1", **kw)(x, train)]
+        branches = [ConvBN(self.features, 1, name="conv1x1", **kw)(x, train, groups)]
         for i, rate in enumerate(self.atrous_rates):
             branches.append(
-                ConvBN(self.features, 3, 1, rate, name=f"atrous{i}", **kw)(x, train)
+                ConvBN(self.features, 3, 1, rate, name=f"atrous{i}", **kw)(x, train, groups)
             )
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = ConvBN(self.features, 1, name="pool_conv", **kw)(pooled, train)
+        pooled = ConvBN(self.features, 1, name="pool_conv", **kw)(pooled, train, groups)
         branches.append(jnp.broadcast_to(pooled, branches[0].shape))
         y = jnp.concatenate(branches, axis=-1)
-        return ConvBN(self.features, 1, name="project", **kw)(y, train)
+        return ConvBN(self.features, 1, name="project", **kw)(y, train, groups)

@@ -61,8 +61,9 @@ class _Head(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        x = ConvBN(256, 3, name="conv", dtype=self.dtype, axis_name=self.axis_name)(x, train)
+    def __call__(self, x, train: bool, groups: int = 1):
+        x = ConvBN(256, 3, name="conv", dtype=self.dtype,
+                   axis_name=self.axis_name)(x, train, groups)
         x = nn.Conv(
             self.out_features,
             (1, 1),
@@ -84,18 +85,22 @@ class DeepLabV3PlusDual(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, bn_groups: int = 1):
+        """``bn_groups > 1``: the batch is G stacked groups that must keep
+        separate BatchNorm statistics (fused two-pass forward; see
+        GroupedBatchNorm).  Semantics-neutral for inference."""
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        low, feat = self.backbone(x, train=train)
+        g = bn_groups
+        low, feat = self.backbone(x, train=train, groups=g)
         feat = ASPP(
             atrous_rates=self._aspp_rates(), name="aspp", **kw
-        )(feat, train)
-        low = ConvBN(48, 1, name="project", **kw)(low, train)
+        )(feat, train, g)
+        low = ConvBN(48, 1, name="project", **kw)(low, train, g)
         feat = bilinear_resize(feat, (low.shape[1], low.shape[2]), align_corners=True)
         feat = feat.astype(low.dtype)
         dec = jnp.concatenate([low, feat], axis=-1)
-        pred = _Head(self.num_classes, name="classifier", **kw)(dec, train)
-        rep = _Head(self.output_dim, name="representation", **kw)(dec, train)
+        pred = _Head(self.num_classes, name="classifier", **kw)(dec, train, g)
+        rep = _Head(self.output_dim, name="representation", **kw)(dec, train, g)
         # losses and prototype math run in f32 regardless of compute dtype
         return pred.astype(jnp.float32), rep.astype(jnp.float32)
 

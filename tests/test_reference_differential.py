@@ -487,3 +487,110 @@ def test_model_mix_forward_matches_reference(ref):
     np.testing.assert_allclose(
         np.asarray(prob_all_ours).transpose(0, 3, 1, 2),
         prob_all.numpy(), atol=5e-3, rtol=1e-2)
+
+
+# --------------------------------------------------------------------------
+# mixing mask geometry, one-hot encodings, confusion matrix / mIoU
+# --------------------------------------------------------------------------
+
+def test_cutout_mask_geometry_distribution(ref):
+    """generate_cutout_mask (VOC.py:518-534) vs cutout_box_mask: identical
+    (w, h, corner) laws => matching mask-area distributions."""
+    from css_tpu.ops.mixing import cutout_box_mask
+
+    h, w, n = 40, 56, 1500
+    np.random.seed(0)
+    ref_means = np.array([
+        ref["voc"].generate_cutout_mask([h, w], ratio=2).numpy().mean()
+        for _ in range(n)])
+    keys = jax.random.split(jax.random.key(0), n)
+    ours = jax.vmap(lambda k: cutout_box_mask(k, (h, w), ratio=2))(keys)
+    our_means = np.asarray(ours.mean(axis=(1, 2)))
+
+    # both should cut ~half the area, with matching spread
+    assert abs(ref_means.mean() - our_means.mean()) < 0.01, (
+        ref_means.mean(), our_means.mean())
+    assert abs(ref_means.std() - our_means.std()) < 0.01
+
+
+def test_classmix_mask_distribution(ref):
+    """generate_class_mask (VOC.py:511-516): mask = pixels of a uniformly
+    chosen half of the present labels (incl. -1 as its own label)."""
+    from css_tpu.ops.mixing import class_half_mask
+
+    rng = np.random.default_rng(4)
+    lab = rng.integers(-1, 5, size=(24, 24)).astype(np.int64)  # 6 uniques
+    k_unique = len(np.unique(lab))
+    n = 800
+
+    torch.manual_seed(0)
+    ref_sel = np.zeros(6)
+    for _ in range(n):
+        m = ref["voc"].generate_class_mask(torch.from_numpy(lab)).numpy()
+        for ci, c in enumerate(range(-1, 5)):
+            sel = m[lab == c]
+            assert sel.min() == sel.max()  # whole class in or out
+            ref_sel[ci] += sel[0]
+    our_sel = np.zeros(6)
+    lab32 = jnp.asarray(lab.astype(np.int32))
+    for t in range(n):
+        m = np.asarray(class_half_mask(jax.random.key(t), lab32, 5))
+        for ci, c in enumerate(range(-1, 5)):
+            sel = m[lab == c]
+            assert sel.min() == sel.max()
+            our_sel[ci] += sel[0]
+    # each label selected with probability (k//2)/k on both sides
+    expect = (k_unique // 2) / k_unique
+    np.testing.assert_allclose(ref_sel / n, expect, atol=0.06)
+    np.testing.assert_allclose(our_sel / n, expect, atol=0.06)
+
+
+def test_label_onehot_exact(ref):
+    """label_onehot / label_onehot_2 (utils.py:116-136) vs ops/onehot."""
+    import generalframeworks.utils as ref_utils
+
+    from css_tpu.ops.onehot import label_onehot, label_onehot_ignore
+
+    rng = np.random.default_rng(1)
+    lab = rng.integers(-1, 6, size=(2, 9, 9)).astype(np.int64)
+
+    want = ref_utils.label_onehot(torch.from_numpy(lab), 6).numpy()
+    got = np.asarray(label_onehot(jnp.asarray(lab), 6)).transpose(0, 3, 1, 2)
+    np.testing.assert_array_equal(got, want)
+
+    # label_onehot_2 (+1 shift into C+1 channels) then slice off the ignore
+    # channel == label_onehot_ignore (mix_label.py:181-182)
+    want2 = ref_utils.label_onehot_2(torch.from_numpy(lab), 6).numpy()[:, 1:]
+    got2 = np.asarray(label_onehot_ignore(jnp.asarray(lab), 6)).transpose(0, 3, 1, 2)
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_confusion_matrix_and_miou_exact(ref):
+    """util/meter.py ConfMatrix bincount + util/miou.py vs css_tpu metrics."""
+    import generalframeworks.util.meter as ref_meter
+    import generalframeworks.util.miou as ref_miou
+
+    from css_tpu.utils import ConfusionMatrix
+
+    rng = np.random.default_rng(2)
+    n_cls = 7
+    target = rng.integers(-1, n_cls, size=(3, 20, 20)).astype(np.int64)
+    pred = rng.integers(0, n_cls, size=(3, 20, 20)).astype(np.int64)
+    # every class appears on the diagonal so the reference's 0/0 NaN per-class
+    # case (miou.py:6) does not trigger
+    for c in range(n_cls):
+        target[0, 0, c] = c
+        pred[0, 0, c] = c
+
+    rm = ref_meter.ConfMatrix(n_cls, fmt=":.4f")
+    rm.update(torch.from_numpy(pred), torch.from_numpy(target))
+    want_mat = rm.mat.numpy()
+    want_miou = ref_miou.mean_intersection_over_union(rm.mat)
+
+    cm = ConfusionMatrix(n_cls)
+    ok = (target >= 0) & (target < n_cls)
+    idx = np.where(ok, target * n_cls + pred, n_cls * n_cls)
+    mat = np.bincount(idx.reshape(-1), minlength=n_cls * n_cls + 1)[:-1]
+    cm.update(mat.reshape(n_cls, n_cls).astype(np.int64))
+    np.testing.assert_array_equal(cm.mat, want_mat)
+    np.testing.assert_allclose(cm.miou, want_miou, rtol=1e-6)

@@ -155,3 +155,58 @@ def test_sharded_eval_matches_single_device():
     iou = per_class_iou(np.asarray(sharded))
     assert iou.shape == (C,)
     np.testing.assert_allclose(np.mean(iou), mean_iou(np.asarray(sharded)))
+
+
+def test_fused_grouped_bn_equals_two_pass():
+    """bn_groups=2 on the concatenated batch must reproduce the two-forward
+    reference semantics exactly: per-half train-mode BN statistics and the
+    sequential running-stat update order (ddp_model.py:60-64)."""
+    model = build_model(num_classes=C, output_dim=16, backbone="tiny")
+    state = create_train_state(
+        jax.random.key(0), model,
+        make_optimizer(1e-2, 5e-4, 100), (1, CROP, CROP, 3),
+        num_classes=C, output_dim=16,
+    )
+    rng = np.random.default_rng(3)
+    l = jnp.asarray(rng.standard_normal((2, CROP, CROP, 3)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((2, CROP, CROP, 3)), jnp.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    (pred_f, rep_f), upd_f = model.apply(
+        variables, jnp.concatenate([l, u]), train=True, bn_groups=2,
+        mutable=["batch_stats"])
+
+    (pred_l, rep_l), upd1 = model.apply(variables, l, train=True,
+                                        mutable=["batch_stats"])
+    (pred_u, rep_u), upd2 = model.apply(
+        {"params": state.params, "batch_stats": upd1["batch_stats"]},
+        u, train=True, mutable=["batch_stats"])
+
+    # grouped and per-pass reductions differ only in f32 summation order;
+    # BN's rsqrt amplifies that to ~1e-4 through a deep stack
+    np.testing.assert_allclose(np.asarray(pred_f),
+                               np.concatenate([pred_l, pred_u]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rep_f),
+                               np.concatenate([rep_l, rep_u]),
+                               rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(upd_f["batch_stats"]),
+                    jax.tree.leaves(upd2["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
+
+
+def test_fused_step_equals_unfused_metrics():
+    """The fused step must produce (numerically) the same losses as the
+    literal two-forward step on identical inputs and RNG."""
+    _, state_f, step_f = _tiny_setup(strategy="mix", fused_forward=True)
+    _, state_s, step_s = _tiny_setup(strategy="mix", fused_forward=False)
+    batch = {k: jnp.asarray(v) for k, v in _batch(2, seed=5).items()}
+    key = jax.random.key(7)
+    w = jnp.float32(1.0)
+    flag = jnp.asarray(False)
+    _, mf = jax.jit(step_f)(state_f, batch, key, w, flag)
+    _, ms = jax.jit(step_s)(state_s, batch, key, w, flag)
+    for k in ("total", "sup", "unsup", "contrast"):
+        np.testing.assert_allclose(float(mf[k]), float(ms[k]), rtol=1e-4,
+                                   atol=1e-5)
