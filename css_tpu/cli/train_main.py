@@ -202,7 +202,7 @@ def _make_loaders(cfg, args, local_batch):
 
 
 def _evaluate(eval_step, state, test_loader, crop, num_classes, rng,
-              mesh=None):
+              mesh=None, full_canvas=False):
     """Teacher eval: pad/crop each batch on device then accumulate the
     confusion matrix (the reference's random test crop, VOC.py:44-45).
 
@@ -224,12 +224,17 @@ def _evaluate(eval_step, state, test_loader, crop, num_classes, rng,
         lab = jnp.asarray(batch["label"])
         lab = jnp.where((lab >= 0) & (lab < num_classes), lab, -1)
         b, _, hh, ww = img.shape
-        img_c, lab_c, _ = batch_transform(
-            jax.random.fold_in(rng, bi), img, lab[:, None],
-            jnp.zeros((b, 1, hh, ww), jnp.float32),
-            jnp.asarray(batch["valid_hw"]), crop_hw=crop,
-            scale_range=(1.0, 1.0), augmentation=False,
-        )
+        if full_canvas:
+            # sliding-window protocol: no crop — the step tiles the canvas
+            # itself; padded canvas regions carry label -1 (not counted)
+            img_c, lab_c = img, lab[:, None]
+        else:
+            img_c, lab_c, _ = batch_transform(
+                jax.random.fold_in(rng, bi), img, lab[:, None],
+                jnp.zeros((b, 1, hh, ww), jnp.float32),
+                jnp.asarray(batch["valid_hw"]), crop_hw=crop,
+                scale_range=(1.0, 1.0), augmentation=False,
+            )
         image = to_channel_last(normalize_imagenet(img_c, channel_axis=-3))
         label, valid = lab_c[:, 0], jnp.asarray(batch["valid"])
         if mesh is not None:

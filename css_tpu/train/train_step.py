@@ -50,7 +50,8 @@ from css_tpu.ops.mixing import mix_batch
 from css_tpu.ops.onehot import label_onehot, label_onehot_ignore
 from css_tpu.train.state import TrainState, ema_update
 
-__all__ = ["StepConfig", "make_train_step", "make_eval_step"]
+__all__ = ["StepConfig", "make_train_step", "make_eval_step",
+           "make_sliding_eval_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -387,6 +388,72 @@ def make_eval_step(model, num_classes: int, axis_name: Optional[str] = None):
         )
         pred = bilinear_resize(pred, label.shape[1:3], align_corners=True)
         yhat = jnp.argmax(pred, axis=-1)
+        ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
+        idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
+        binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
+        delta = binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
+        if axis_name is not None:
+            delta = jax.lax.psum(delta, axis_name)
+        return conf_mat + delta
+
+    return eval_step
+
+
+def _tile_origins(full: int, crop: int, stride: int):
+    """Static window origins covering [0, full) with the last tile clamped."""
+    if full <= crop:
+        return [0]
+    xs = list(range(0, full - crop + 1, stride))
+    if xs[-1] != full - crop:
+        xs.append(full - crop)
+    return xs
+
+
+def make_sliding_eval_step(model, num_classes: int, canvas_hw, crop_hw,
+                           stride_hw=None, axis_name: Optional[str] = None):
+    """Paper-protocol sliding-window eval over the FULL canvas.
+
+    The in-training eval (make_eval_step) follows the reference's protocol:
+    one random crop per val image (VOC.py:44-45).  Benchmark numbers for
+    Cityscapes are usually reported with overlapping-window inference over
+    the whole 2048x1024 frame; this builds that step.  Tile origins are
+    static (computed from canvas/crop/stride at trace time), so the window
+    loop unrolls into static dynamic-slices — no traced gathers.
+
+    Per image: softmax probabilities of each crop-sized window (model logits
+    bilinearly upsampled x4) are accumulated over the canvas and averaged by
+    coverage count; argmax over the averaged map feeds the confusion matrix.
+    Same signature as make_eval_step's step.
+    """
+    ch, cw = crop_hw
+    fh, fw = canvas_hw
+    sh, sw = stride_hw or (2 * ch // 3, 2 * cw // 3)
+    oys = _tile_origins(fh, ch, sh)
+    oxs = _tile_origins(fw, cw, sw)
+
+    def eval_step(params, batch_stats, conf_mat, image, label, valid):
+        b = image.shape[0]
+        acc = jnp.zeros((b, fh, fw, num_classes), jnp.float32)
+        cnt = jnp.zeros((fh, fw, 1), jnp.float32)
+        for oy in oys:
+            for ox in oxs:
+                win = jax.lax.dynamic_slice(
+                    image, (0, oy, ox, 0), (b, ch, cw, image.shape[-1]))
+                pred, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, win,
+                    train=False)
+                pred = bilinear_resize(pred, (ch, cw), align_corners=True)
+                prob = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
+                acc = jax.lax.dynamic_update_slice(
+                    acc,
+                    jax.lax.dynamic_slice(
+                        acc, (0, oy, ox, 0), (b, ch, cw, num_classes)) + prob,
+                    (0, oy, ox, 0))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt,
+                    jax.lax.dynamic_slice(cnt, (oy, ox, 0), (ch, cw, 1)) + 1.0,
+                    (oy, ox, 0))
+        yhat = jnp.argmax(acc / jnp.maximum(cnt, 1.0), axis=-1)
         ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
         idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
         binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)

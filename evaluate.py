@@ -27,6 +27,13 @@ def main():
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--txt_dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--sliding", action="store_true",
+                   help="paper-protocol sliding-window eval over the full "
+                        "canvas (overlapping crop-size windows, averaged "
+                        "probabilities) instead of the reference's single "
+                        "random crop")
+    p.add_argument("--stride", type=int, default=None,
+                   help="sliding-window stride (default 2/3 of crop)")
     args = p.parse_args()
 
     import os
@@ -44,7 +51,7 @@ def main():
     from css_tpu.parallel import DATA_AXIS, data_mesh, sharded_eval_step
     from css_tpu.train.checkpoint import restore_checkpoint
     from css_tpu.train.state import create_train_state, make_optimizer
-    from css_tpu.train.train_step import make_eval_step
+    from css_tpu.train.train_step import make_eval_step, make_sliding_eval_step
 
     cfg = load_config(args.config)
     if args.data_dir:
@@ -80,10 +87,17 @@ def main():
     mesh = data_mesh()
     batch = cfg.require("Dataset.batch_size") * mesh.devices.size
     _, _, test_loader = _make_loaders(cfg, _A, batch)
-    eval_step = sharded_eval_step(make_eval_step(model, num_classes, DATA_AXIS),
-                                  mesh)
+    if args.sliding:
+        canvas = tuple(cfg.get("Dataset.canvas_size", crop))
+        stride = (args.stride, args.stride) if args.stride else None
+        step_fn = make_sliding_eval_step(model, num_classes, canvas, crop,
+                                         stride, DATA_AXIS)
+    else:
+        step_fn = make_eval_step(model, num_classes, DATA_AXIS)
+    eval_step = sharded_eval_step(step_fn, mesh)
     cm = _evaluate(eval_step, state, test_loader, crop, num_classes,
-                   jax.random.key(cfg.get("Seed", 3407)), mesh)
+                   jax.random.key(cfg.get("Seed", 3407)), mesh,
+                   full_canvas=args.sliding)
     which = "student" if args.student else "teacher"
     names = _class_names(num_classes)
     for i, (name, iou) in enumerate(zip(names, cm.iou)):

@@ -210,3 +210,64 @@ def test_fused_step_equals_unfused_metrics():
     for k in ("total", "sup", "unsup", "contrast"):
         np.testing.assert_allclose(float(mf[k]), float(ms[k]), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_sliding_eval_matches_manual_accumulation():
+    """make_sliding_eval_step == hand-accumulated window softmax average."""
+    from css_tpu.train.train_step import make_sliding_eval_step
+    from css_tpu.ops.interpolate import bilinear_resize
+
+    model = build_model(num_classes=C, output_dim=16, backbone="tiny")
+    state = create_train_state(
+        jax.random.key(0), model, make_optimizer(1e-2, 5e-4, 100),
+        (1, CROP, CROP, 3), num_classes=C, output_dim=16)
+    fh = fw = 48
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((2, fh, fw, 3)), jnp.float32)
+    lab = jnp.asarray(rng.integers(-1, C, (2, fh, fw)).astype(np.int32))
+    valid = jnp.asarray([True, True])
+
+    step = make_sliding_eval_step(model, C, (fh, fw), (CROP, CROP),
+                                  (16, 16))
+    mat = np.asarray(step(state.params, state.batch_stats,
+                          jnp.zeros((C, C), jnp.int32), img, lab, valid))
+
+    acc = np.zeros((2, fh, fw, C), np.float32)
+    cnt = np.zeros((fh, fw, 1), np.float32)
+    for oy in (0, 16):
+        for ox in (0, 16):
+            win = img[:, oy:oy + CROP, ox:ox + CROP]
+            pred, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                win, train=False)
+            pred = bilinear_resize(pred, (CROP, CROP), align_corners=True)
+            acc[:, oy:oy + CROP, ox:ox + CROP] += np.asarray(
+                jax.nn.softmax(pred, axis=-1))
+            cnt[oy:oy + CROP, ox:ox + CROP] += 1
+    yhat = (acc / cnt).argmax(-1)
+    labn = np.asarray(lab)
+    ok = labn >= 0
+    want = np.bincount((labn[ok] * C + yhat[ok]).reshape(-1),
+                       minlength=C * C).reshape(C, C)
+    np.testing.assert_array_equal(mat, want)
+
+
+def test_sliding_eval_single_tile_equals_plain():
+    """canvas == crop -> sliding eval reduces to the plain eval step."""
+    from css_tpu.train.train_step import make_sliding_eval_step
+
+    model = build_model(num_classes=C, output_dim=16, backbone="tiny")
+    state = create_train_state(
+        jax.random.key(0), model, make_optimizer(1e-2, 5e-4, 100),
+        (1, CROP, CROP, 3), num_classes=C, output_dim=16)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((2, CROP, CROP, 3)), jnp.float32)
+    lab = jnp.asarray(rng.integers(-1, C, (2, CROP, CROP)).astype(np.int32))
+    valid = jnp.asarray([True, False])
+    zero = jnp.zeros((C, C), jnp.int32)
+
+    slide = make_sliding_eval_step(model, C, (CROP, CROP), (CROP, CROP))
+    plain = make_eval_step(model, C)
+    np.testing.assert_array_equal(
+        np.asarray(slide(state.params, state.batch_stats, zero, img, lab, valid)),
+        np.asarray(plain(state.params, state.batch_stats, zero, img, lab, valid)))
