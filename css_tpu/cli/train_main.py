@@ -138,9 +138,9 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         ema_alpha=cfg.get("EMA.alpha", 0.99),
         contrast_enabled=bool(cfg.get("Loss.is_available", True)),
         negative_mode=cfg.get("Loss.negative_mode", "sampled"),
-        # default on: GroupedBatchNorm keeps exact per-half BN semantics
-        # inside the fused batch (train_step.py StepConfig)
-        fused_forward=bool(cfg.get("Training_Setting.fused_forward", True)),
+        # GroupedBatchNorm keeps exact per-half BN semantics inside the
+        # fused batch; off by default (see train_step.py StepConfig)
+        fused_forward=bool(cfg.get("Training_Setting.fused_forward", False)),
     )
     train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
     eval_step = sharded_eval_step(make_eval_step(model, num_classes, DATA_AXIS), mesh)

@@ -84,14 +84,22 @@ class GroupedBatchNorm(nn.Module):
         if not train:
             mean = ra_mean.value
             var = ra_var.value
-            inv = scale * jax.lax.rsqrt(var + self.epsilon)
-            return ((x.astype(jnp.float32) - mean) * inv + bias).astype(dtype)
+            # elementwise pass in the compute dtype (the step is HBM-bound;
+            # f32 normalize doubles activation traffic).  Subtract-first
+            # keeps precision relative to x — folding mean into the bias
+            # would cancel catastrophically in bf16 when |mean| >> std.
+            inv = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(dtype)
+            return (x - mean.astype(dtype)) * inv + bias.astype(dtype)
 
         b = x.shape[0]
         g = groups
         assert b % g == 0, (b, g)
-        xf = x.astype(jnp.float32).reshape(g, b // g, *x.shape[1:])
-        red = tuple(range(1, xf.ndim - 1))
+        # statistics REDUCTIONS in f32 (a bf16 mean over 512^2 activations
+        # loses ~3 decimal digits — dev-notes invariant #3); the per-element
+        # normalize then runs in the compute dtype with folded f32 scalars.
+        xg = x.reshape(g, b // g, *x.shape[1:])
+        red = tuple(range(1, xg.ndim - 1))
+        xf = xg.astype(jnp.float32)
         mean_g = jnp.mean(xf, axis=red)                      # [G, C]
         msq_g = jnp.mean(jnp.square(xf), axis=red)           # [G, C]
         if self.axis_name is not None:
@@ -99,10 +107,11 @@ class GroupedBatchNorm(nn.Module):
             msq_g = jax.lax.pmean(msq_g, self.axis_name)
         var_g = msq_g - jnp.square(mean_g)
 
-        shape = (g, 1) + (1,) * (xf.ndim - 3) + (c,)
-        y = (xf - mean_g.reshape(shape)) * jax.lax.rsqrt(
-            var_g.reshape(shape) + self.epsilon)
-        y = y * scale + bias
+        shape = (g, 1) + (1,) * (xg.ndim - 3) + (c,)
+        inv_g = scale * jax.lax.rsqrt(var_g + self.epsilon)  # [G, C] f32
+        y = (xg - mean_g.reshape(shape).astype(dtype)) \
+            * inv_g.reshape(shape).astype(dtype) \
+            + bias.astype(dtype)
         y = y.reshape(x.shape).astype(dtype)
 
         if not self.is_initializing():
@@ -115,6 +124,65 @@ class GroupedBatchNorm(nn.Module):
             ra_mean.value = new_mean
             ra_var.value = new_var
         return y
+
+
+class AtrousConv3x3(nn.Module):
+    """Large-dilation 3x3 conv as 9 shifted 1x1 matmuls (SAME pad, stride 1).
+
+    At ASPP rates (12/24/36) on the OS8 feature map (~64x64 for 512^2
+    crops), most of a dilated conv's taps land on SAME-padding zeros — e.g.
+    at dilation 36 on 64^2, the 8 off-center taps only overlap the input on
+    28- or 28x28-pixel strips, yet ``conv_general_dilated`` pays all 9 taps
+    everywhere (trace: the three ASPP atrous convs were the largest single
+    cost in the step).  Decomposing into per-tap 1x1 contractions over the
+    valid overlap regions does only the useful MACs (~39% at d=36, ~56% at
+    24, ~76% at 12) and runs them as K=2048 matmuls the MXU loves.
+    Accumulation is f32; parameter layout matches nn.Conv ("kernel", HWIO)
+    so torch conversion and checkpoints are unchanged.
+
+    The trade is FLOPs for input re-reads (each off-center tap re-streams
+    its slice of x), so it only wins when the valid-tap FLOP fraction is
+    small: measured on v5e at 64^2/2048ch, d=36 (fraction .39) runs 1.34x
+    faster than the dilated conv while d=12 (fraction .76) is 1.3x slower.
+    ``valid_fraction`` computes the gate; ConvBN applies it at trace time.
+    """
+
+    features: int
+    dilation: int
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def valid_fraction(h: int, w: int, d: int) -> float:
+        """Fraction of the 9 taps' MACs that touch real input (not pad)."""
+        vh, vw = max(h - d, 0), max(w - d, 0)
+        return (h * w + 2 * vh * w + 2 * h * vw + 4 * vh * vw) / (9.0 * h * w)
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", _torch_kaiming_normal_fan_out,
+                       (3, 3, cin, self.features), jnp.float32)
+        w = w.astype(self.dtype)
+        b, h, wd, _ = x.shape
+        d = self.dilation
+
+        def tap(src, dy, dx):
+            return jnp.einsum("bhwc,cf->bhwf", src, w[dy + 1, dx + 1],
+                              preferred_element_type=jnp.float32)
+
+        out = tap(x, 0, 0)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                oy, ox = dy * d, dx * d
+                ylo, yhi = max(0, -oy), h - max(0, oy)
+                xlo, xhi = max(0, -ox), wd - max(0, ox)
+                if yhi <= ylo or xhi <= xlo:
+                    continue  # tap entirely in the padding
+                src = x[:, ylo + oy:yhi + oy, xlo + ox:xhi + ox]
+                out = out.at[:, ylo:yhi, xlo:xhi].add(tap(src, dy, dx))
+        return out
 
 
 class ConvBN(nn.Module):
@@ -133,17 +201,23 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, groups: int = 1):
         pad = self.dilation * (self.kernel - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            kernel_init=_torch_kaiming_normal_fan_out,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (self.kernel == 3 and self.stride == 1 and self.dilation > 1
+                and AtrousConv3x3.valid_fraction(
+                    x.shape[1], x.shape[2], self.dilation) <= 0.45):
+            x = AtrousConv3x3(self.features, self.dilation, dtype=self.dtype,
+                              name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                kernel_init=_torch_kaiming_normal_fan_out,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         # BatchNorm statistics always accumulate in f32: with bf16 compute a
         # mean over 512^2 bf16 activations would lose ~3 decimal digits.
         x = GroupedBatchNorm(

@@ -78,11 +78,13 @@ class StepConfig:
     ema_alpha: float = 0.99
     contrast_enabled: bool = True             # Loss.is_available in the YAML
     negative_mode: str = "sampled"            # sampled (reference) | expected
-    fused_forward: bool = True                # one batched pass over l+u
-    # (semantics-exact: GroupedBatchNorm keeps per-half BN statistics and
-    # the reference's sequential running-stat update order inside the fused
-    # batch, while the convs run at 2x batch — measured ~1.6x conv TF/s on
-    # v5e.  fused_forward=False keeps the literal two-forward call order.)
+    fused_forward: bool = False               # one batched pass over l+u
+    # (semantics-exact when enabled: GroupedBatchNorm keeps per-half BN
+    # statistics and the reference's sequential running-stat update order
+    # inside the fused batch.  Isolated convs run ~1.6x faster at batch 16,
+    # but the full VOC step is bandwidth-bound and measured 295 ms unfused
+    # vs 302 ms fused on v5e — so the literal two-forward order stays the
+    # default; enable for small per-chip batches where MXU feeding wins.)
 
 
 def _remap_ignore(labels: jax.Array, num_classes: int) -> jax.Array:

@@ -188,3 +188,28 @@ def test_aspp_rates_follow_explicit_output_stride():
     bad = DeepLabV3PlusDual(backbone=os8.backbone, output_stride=4)
     with pytest.raises(ValueError):
         bad._aspp_rates()
+
+
+def test_atrous_decomposition_matches_dilated_conv():
+    """AtrousConv3x3 (9 shifted 1x1 matmuls over valid overlaps) must equal
+    conv_general_dilated for every dilation regime, incl. taps that fall
+    entirely in the padding (d >= H)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from css_tpu.models.resnet import AtrousConv3x3
+
+    rng = np.random.default_rng(0)
+    for h, w, d in [(16, 16, 12), (16, 20, 6), (64, 64, 36), (9, 9, 12),
+                    (8, 8, 1)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 8)), jnp.float32)
+        mod = AtrousConv3x3(features=4, dilation=d)
+        params = mod.init(jax.random.key(0), x)
+        got = mod.apply(params, x)
+        k = params["params"]["kernel"]
+        want = lax.conv_general_dilated(
+            x, k, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
