@@ -53,3 +53,37 @@ def test_evaluate_cli_sliding_window(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     miou = float(out.split("mIoU")[1].split()[0])
     assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+
+
+@pytest.mark.slow
+def test_predict_cli_writes_masks(tmp_path, monkeypatch):
+    """predict.py segments a directory of images into index masks +
+    overlays of the original sizes."""
+    from PIL import Image
+
+    from css_tpu.cli.train_main import run_training
+
+    cfgp = _tiny_yaml(tmp_path)
+    run_training("ori", _args(cfgp, tmp_path, "predjob"))
+    ckpt = tmp_path / "ckpt" / "predjob" / "best_model"
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i, (h, w) in enumerate([(30, 28), (25, 32)]):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+
+    import predict
+
+    out_dir = tmp_path / "preds"
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--config", cfgp, "--checkpoint", str(ckpt),
+        "--inputs", str(img_dir), "--out_dir", str(out_dir), "--overlay",
+    ])
+    predict.main()
+    m0 = np.asarray(Image.open(out_dir / "im0_pred.png"))
+    m1 = np.asarray(Image.open(out_dir / "im1_pred.png"))
+    assert m0.shape == (30, 28) and m1.shape == (25, 32)
+    assert m0.max() < 6  # class indices within the tiny config's range
+    assert (out_dir / "im0_overlay.png").exists()
