@@ -37,9 +37,21 @@ class _CanvasSpec:
     def load(self, sample_id: str):
         """Returns (image_canvas uint8 [H,W,3], label_canvas int32 [H,W],
         valid_hw (h, w))."""
-        native = self._load_native(sample_id)
-        if native is not None:
-            return native
+        ch, cw = self.canvas_hw
+        icanvas = np.zeros((ch, cw, 3), np.uint8)
+        lcanvas = np.full((ch, cw), 255, np.int32)
+        vhw = self.load_into(sample_id, icanvas, lcanvas)
+        return icanvas, lcanvas, vhw
+
+    def load_into(self, sample_id: str, icanvas: np.ndarray,
+                  lcanvas: np.ndarray) -> np.ndarray:
+        """Decode straight into caller-provided canvases (e.g. rows of the
+        batch arrays — the native decoders write scanlines in place, so the
+        batch assembly path is copy-free).  ``icanvas`` must be pre-filled 0
+        and ``lcanvas`` 255.  Returns valid_hw [2] int32."""
+        hw = self._load_native_into(sample_id, icanvas, lcanvas)
+        if hw is not None:
+            return hw
         img, lab = self._decode(sample_id)
         ch, cw = self.canvas_hw
         h, w = img.shape[:2]
@@ -47,15 +59,13 @@ class _CanvasSpec:
             raise ValueError(
                 f"sample {sample_id} ({h}x{w}) exceeds canvas {self.canvas_hw}"
             )
-        icanvas = np.zeros((ch, cw, 3), np.uint8)
-        lcanvas = np.full((ch, cw), 255, np.int32)
         icanvas[:h, :w] = img
         if lab is not None:
             lcanvas[:h, :w] = lab
-        return icanvas, lcanvas, np.asarray([h, w], np.int32)
+        return np.asarray([h, w], np.int32)
 
-    def _load_native(self, sample_id: str):
-        """C++ decode straight into canvases when the native runtime is
+    def _load_native_into(self, sample_id: str, icanvas, lcanvas):
+        """C++ decode into the given canvases when the native runtime is
         built and the spec provides paths; None -> PIL fallback."""
         from css_tpu.data import native_io
 
@@ -63,9 +73,6 @@ class _CanvasSpec:
         if paths is None or not native_io.native_available():
             return None
         img_path, lab_path = paths
-        ch, cw = self.canvas_hw
-        icanvas = np.zeros((ch, cw, 3), np.uint8)
-        lcanvas = np.full((ch, cw), 255, np.int32)
         if img_path.endswith(".jpg") or img_path.endswith(".jpeg"):
             hw = native_io.decode_jpeg_canvas(img_path, icanvas)
         elif img_path.endswith(".png"):
@@ -77,7 +84,7 @@ class _CanvasSpec:
         if lab_path is not None and os.path.exists(lab_path):
             if native_io.decode_png_label_canvas(lab_path, lcanvas) is None:
                 return None
-        return icanvas, lcanvas, np.asarray(hw, np.int32)
+        return np.asarray(hw, np.int32)
 
     def _paths(self, sample_id: str):
         """(image_path, label_path_or_None) when path-based, else None."""

@@ -103,17 +103,23 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, ids: List[Optional[str]]) -> dict:
-        real = [s for s in ids if s is not None]
-        records = list(self._decode_pool.map(self.spec.load, real))
         b = self.batch_size
         ch, cw = self.spec.canvas_hw
         image = np.zeros((b, ch, cw, 3), np.uint8)
         label = np.full((b, ch, cw), 255, np.int32)
         valid_hw = np.ones((b, 2), np.int32)
         valid = np.zeros((b,), bool)
-        for i, (img, lab, vhw) in enumerate(records):
-            image[i], label[i], valid_hw[i] = img, lab, vhw
+        # decode straight into the batch rows — the native decoders write
+        # scanlines in place with the GIL released, so workers overlap and
+        # no per-sample canvas allocation/copy happens on this path
+        jobs = [(i, s) for i, s in enumerate(ids) if s is not None]
+
+        def _decode_row(args):
+            i, sid = args
+            valid_hw[i] = self.spec.load_into(sid, image[i], label[i])
             valid[i] = True
+
+        list(self._decode_pool.map(_decode_row, jobs))
         return dict(image=image, label=label, valid_hw=valid_hw, valid=valid)
 
     def __iter__(self) -> Iterator[dict]:
