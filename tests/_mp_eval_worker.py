@@ -84,6 +84,50 @@ def main():
 
     print(f"proc {pid}: multihost eval ok, matrix_total={mat.sum()}")
 
+    # ---- one sharded TRAIN step across both processes: the grad pmean /
+    # BN psum / prototype psum must leave every process with IDENTICAL
+    # replicated state (the DDP-allreduce contract, dist_init.py:33-44) ----
+    from css_tpu.parallel import shard_batch, sharded_train_step
+    from css_tpu.train.train_step import StepConfig, make_train_step
+
+    model_ax = build_model(num_classes=c, output_dim=16, backbone="tiny",
+                           axis_name="data")
+    tstate = create_train_state(jax.random.key(1), model_ax, tx,
+                                (1, crop, crop, 3), num_classes=c,
+                                output_dim=16)
+    cfg = StepConfig(num_classes=c, crop_hw=(crop, crop),
+                     scale_range=(0.5, 1.5), strategy="mix",
+                     num_queries=8, num_negatives=16)
+    tstep = sharded_train_step(make_train_step(model_ax, tx, cfg, "data"),
+                               mesh)
+    canvas = 40
+    brng = np.random.default_rng(7 + pid)  # DIFFERENT data per process
+    local = {
+        "l_image": brng.random((2, canvas, canvas, 3), dtype=np.float32),
+        "l_label": brng.integers(0, c, size=(2, canvas, canvas)).astype(np.int32),
+        "l_valid_hw": np.full((2, 2), canvas, np.int32),
+        "u_image": brng.random((2, canvas, canvas, 3), dtype=np.float32),
+        "u_valid_hw": np.full((2, 2), canvas, np.int32),
+    }
+    new_state, metrics = tstep(tstate, shard_batch(mesh, local),
+                               jax.random.key(3), jnp.float32(1.0),
+                               jnp.asarray(False))
+    total_loss = float(jax.device_get(metrics["total"]))
+    assert np.isfinite(total_loss), total_loss
+
+    # identical replicated state on both processes <=> the cross-process sum
+    # of any state checksum equals 2x the local value
+    for name, tree in (("params", new_state.params),
+                       ("protos", new_state.prototypes)):
+        local_sum = np.asarray(
+            sum(float(jax.device_get(jnp.sum(x)))
+                for x in jax.tree.leaves(tree))).reshape(1)
+        both = cross_process_sum(local_sum.astype(np.float64))
+        assert abs(both[0] - 2 * local_sum[0]) < 1e-3 + 1e-6 * abs(both[0]), (
+            name, both[0], local_sum[0])
+
+    print(f"proc {pid}: multihost train ok, loss={total_loss:.4f}")
+
 
 if __name__ == "__main__":
     main()

@@ -38,8 +38,9 @@ def test_two_process_eval_reduction():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid}: multihost eval ok" in out
+        assert f"proc {pid}: multihost train ok" in out

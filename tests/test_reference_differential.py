@@ -594,3 +594,58 @@ def test_confusion_matrix_and_miou_exact(ref):
     cm.update(mat.reshape(n_cls, n_cls).astype(np.int64))
     np.testing.assert_array_equal(cm.mat, want_mat)
     np.testing.assert_allclose(cm.miou, want_miou, rtol=1e-6)
+
+
+def test_transform_3_multi_map_agreement(ref):
+    """transform_3 (VOC.py:198-274) carries 2 label + 2 confidence maps
+    through identical geometry; our generic K/L apply must match all four
+    at forced parameters."""
+    from PIL import Image
+
+    from css_tpu.ops.augment import apply_geometric
+
+    h0, w0, ch, cw, ratio = 80, 90, 56, 56, 1.1517
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(h0, w0, 3), dtype=np.uint8)
+    lab1 = rng.integers(0, 21, size=(h0, w0)).astype(np.uint8)
+    lab2 = rng.integers(0, 21, size=(h0, w0)).astype(np.uint8)
+    c1 = rng.integers(0, 256, size=(h0, w0), dtype=np.uint8)
+    c2 = rng.integers(0, 256, size=(h0, w0), dtype=np.uint8)
+
+    rh, rw = int(h0 * ratio), int(w0 * ratio)
+    ph, pw = max(rh, ch), max(rw, cw)
+    i, j = 13, 21
+
+    import torchvision.transforms as tvt
+
+    orig = tvt.RandomCrop.get_params
+    tvt.RandomCrop.get_params = staticmethod(lambda im, output_size: (i, j, ch, cw))
+    try:
+        out = ref["voc"].transform_3(
+            Image.fromarray(img, "RGB"), Image.fromarray(lab1, "L"),
+            Image.fromarray(lab2, "L"), Image.fromarray(c1, "L"),
+            Image.fromarray(c2, "L"), crop_size=(ch, cw),
+            scale_size=(ratio, ratio), augmentation=False)
+    finally:
+        tvt.RandomCrop.get_params = orig
+    _, rl1, rl2, rc1, rc2 = out
+
+    _, ol, oc = apply_geometric(
+        jnp.asarray(img.transpose(2, 0, 1).astype(np.float32) / 255.0),
+        jnp.asarray(np.stack([lab1, lab2]).astype(np.int32)),
+        jnp.asarray(np.stack([c1, c2]).astype(np.float32) / 255.0),
+        jnp.asarray([h0, w0], jnp.int32), (ch, cw),
+        jnp.float32(ratio),
+        jnp.float32((i + 0.5) / (ph - ch + 1)),
+        jnp.float32((j + 0.5) / (pw - cw + 1)),
+    )
+    for want, got in ((rl1.numpy()[0], np.asarray(ol[0])),
+                      (rl2.numpy()[0], np.asarray(ol[1]))):
+        mism = want != got
+        rows, cols = np.unique(np.nonzero(mism)[0]), np.unique(np.nonzero(mism)[1])
+        assert min(len(rows), len(cols)) <= 2, (len(rows), len(cols))
+    for want, got in ((rc1.numpy()[0], np.asarray(oc[0])),
+                      (rc2.numpy()[0], np.asarray(oc[1]))):
+        mism = np.abs(want - got) > 1e-6
+        rows, cols = np.unique(np.nonzero(mism)[0]), np.unique(np.nonzero(mism)[1])
+        assert min(len(rows), len(cols)) <= 2, (len(rows), len(cols))
