@@ -232,10 +232,8 @@ def prototype_contrastive_loss(
         cnt = oh @ counts_f                            # exact small ints
         off = oh @ offs_f
         pos = (off + jnp.floor(u_pix * jnp.maximum(cnt, 1.0))).astype(jnp.int32)
-        # each anchor's G draws are exchangeable (their exp-sims are summed),
-        # so sort them ascending per anchor: the row gather then streams
-        # mostly-increasing addresses instead of random ones
-        pos = jnp.sort(pos.reshape(q, g), axis=1).reshape(-1)
+        # (measured: per-anchor ascending sort of the draws before this
+        # gather is a wash on v5e — the cost is per-row fetch, not locality)
         negs = rep_sorted_n[pos].reshape(q, g, d)      # [Q, G, D] bf16 rows
 
         a = _l2_normalize(anchor_c, axis=-1)           # [Q, D] f32 (grad)
