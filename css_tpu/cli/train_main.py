@@ -247,6 +247,21 @@ def _evaluate(eval_step, state, test_loader, crop, num_classes, rng,
     return cm
 
 
+def _retry_once(fn, log, what: str):
+    """Run ``fn()``, retrying exactly once on a transient JAX runtime fault.
+
+    The train step is a pure function of (state, batch, rng), so a retry
+    after a preemption blip or compile-service hiccup is safe; a second
+    failure propagates.  (The reference has no recovery story — a crash
+    kills mp.spawn, SURVEY.md section 5.)
+    """
+    try:
+        return fn()
+    except jax.errors.JaxRuntimeError as e:  # pragma: no cover - exercised
+        log.info(f"WARNING {what} failed ({e}); retrying once")
+        return fn()
+
+
 def _device_prefetch(batches, mesh, depth: int = 2):
     """Double-buffered host->device transfer.
 
@@ -370,20 +385,12 @@ def run_training(strategy: str, args) -> dict:
 
         with maybe_profile(args.profile_dir, epoch == start_epoch):
             for sbatch in _device_prefetch(_epoch_batches(), mesh):
-                try:
-                    state, metrics = train_step(
-                        state, sbatch, step_rng,
-                        jnp.float32(weight), jnp.asarray(use_rep),
-                    )
-                except jax.errors.JaxRuntimeError as e:  # pragma: no cover
-                    # the step is a pure function: one retry on transient
-                    # runtime faults (preemption blips, compile-service
-                    # hiccups) is safe and keeps week-long runs alive
-                    log.info(f"WARNING train step failed ({e}); retrying once")
-                    state, metrics = train_step(
-                        state, sbatch, step_rng,
-                        jnp.float32(weight), jnp.asarray(use_rep),
-                    )
+                state, metrics = _retry_once(
+                    lambda: train_step(state, sbatch, step_rng,
+                                       jnp.float32(weight),
+                                       jnp.asarray(use_rep)),
+                    log, "train step",
+                )
                 timer.tick()
                 if args.max_steps and int(state.step) >= args.max_steps:
                     done = True

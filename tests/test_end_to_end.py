@@ -184,3 +184,35 @@ def test_training_driver_on_disk_voc_layout(tmp_path):
     assert result["steps"] >= 2
     assert np.isfinite(result["best_miou"])
     assert (tmp_path / "ckpt" / "voc_disk" / "config.yaml").exists()
+
+
+def test_retry_once_on_transient_runtime_fault():
+    """_retry_once re-runs a pure step exactly once on JaxRuntimeError."""
+    import jax
+
+    from css_tpu.cli.train_main import _retry_once
+
+    class _Log:
+        def __init__(self):
+            self.msgs = []
+
+        def info(self, m):
+            self.msgs.append(m)
+
+    log = _Log()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("transient fault")
+        return "ok"
+
+    assert _retry_once(flaky, log, "train step") == "ok"
+    assert calls["n"] == 2 and any("retrying once" in m for m in log.msgs)
+
+    def always_bad():
+        raise jax.errors.JaxRuntimeError("persistent fault")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        _retry_once(always_bad, log, "train step")
