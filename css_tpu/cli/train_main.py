@@ -26,7 +26,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from css_tpu.config import dump_config, load_config
 from css_tpu.data import BatchLoader, InfiniteLoader, build_dataset_specs, read_split_lists

@@ -100,7 +100,7 @@ def main():
     from css_tpu.ops.interpolate import bilinear_resize
     from css_tpu.train.checkpoint import restore_checkpoint
     from css_tpu.train.state import create_train_state, make_optimizer
-    from css_tpu.train.train_step import make_sliding_eval_step, _tile_origins
+    from css_tpu.train.train_step import _tile_origins
 
     cfg = load_config(args.config)
     num_classes = cfg.require("Network.num_class")
