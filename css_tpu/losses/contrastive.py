@@ -271,6 +271,11 @@ def prototype_contrastive_loss(
                              ((0, 0), (0, 1)))                  # [C, C+1]
 
         use_pallas = negative_mode == "expected_pallas"
+        # (a batched all-classes kernel variant — one R pass for every class
+        # instead of the per-class scan — was built and measured 3 ms SLOWER
+        # end-to-end on v5e: the VPU exp work, identical either way,
+        # dominates this path, not the table streaming.  The per-class scan
+        # stays.)
 
         @functools.partial(jax.checkpoint,
                            policy=jax.checkpoint_policies.nothing_saveable)

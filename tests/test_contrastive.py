@@ -161,3 +161,39 @@ def test_prototype_update_multidevice_psum_matches_global():
         jnp.asarray(protos), alpha=0.9,
     )
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_expected_pallas_equals_expected_xla():
+    """The batched all-classes kernel must compute the same loss as the
+    per-class XLA expected mode (identical math, one R pass)."""
+    import jax.experimental.pallas as pl
+    from css_tpu.ops.pallas import contrastive_kernels as ck
+
+    # interpret mode off-TPU
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        ck.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        rng = np.random.default_rng(6)
+        b, h, w, d, c = 2, 8, 8, 16, 5
+        rep = rng.standard_normal((b, h, w, d)).astype(np.float32)
+        lab = rng.integers(0, c, size=(b, h, w))
+        onehot = np.eye(c, dtype=np.float32)[lab]
+        mask = (rng.random((b, h, w)) > 0.3).astype(np.float32)
+        logits = rng.standard_normal((b, h, w, c)).astype(np.float32)
+        prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        protos = rng.standard_normal((c, d)).astype(np.float32)
+
+        vals = {}
+        for mode in ("expected", "expected_pallas"):
+            loss, _ = prototype_contrastive_loss(
+                jnp.asarray(rep), jnp.asarray(onehot), jnp.asarray(mask),
+                jnp.asarray(prob), jnp.asarray(protos), jax.random.key(3),
+                num_queries=8, num_negatives=16, temp=0.5,
+                strong_threshold=0.97, alpha=0.99, negative_mode=mode,
+            )
+            vals[mode] = float(loss)
+        assert abs(vals["expected"] - vals["expected_pallas"]) < 2e-3, vals
+    finally:
+        if jax.default_backend() != "tpu":
+            ck.pl.pallas_call = orig

@@ -61,3 +61,4 @@ def test_weighted_exp_softsum_grad():
 
     want = np.asarray(jax.grad(f_ref)(jnp.asarray(a)))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-3)
+
