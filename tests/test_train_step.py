@@ -271,3 +271,26 @@ def test_sliding_eval_single_tile_equals_plain():
     np.testing.assert_array_equal(
         np.asarray(slide(state.params, state.batch_stats, zero, img, lab, valid)),
         np.asarray(plain(state.params, state.batch_stats, zero, img, lab, valid)))
+
+
+def test_multidevice_fused_grouped_bn_step():
+    """Fused forward on an 8-device mesh: GroupedBatchNorm's per-group
+    pmean (SyncBN x per-half stats) composes with shard_map and still
+    produces finite, replicated results."""
+    mesh = data_mesh(8)
+    model, state, step = _tiny_setup(axis_name="data", strategy="mix",
+                                     fused_forward=True)
+    sstep = sharded_train_step(step, mesh)
+    from css_tpu.parallel import shard_batch
+
+    sbatch = shard_batch(mesh, _batch(8, seed=6))
+    new_state, metrics = sstep(
+        state, sbatch, jax.random.key(2), jnp.float32(1.0), jnp.asarray(False)
+    )
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    protos = new_state.prototypes
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(protos)),
+        np.asarray(protos.addressable_shards[0].data))
