@@ -123,8 +123,11 @@ def _tv_adjust_hue(img, hue_factor):
         raise ValueError("hue_factor out of range")
     h, s, v = img.convert("HSV").split()
     np_h = np.asarray(h, dtype=np.uint8)
-    with np.errstate(over="ignore"):
-        np_h = np_h + np.uint8(hue_factor * 255)
+    # torchvision adds np.uint8(hue_factor * 255) relying on uint8
+    # wraparound; modern numpy rejects negative uint8 construction, so
+    # reproduce the mod-256 semantics explicitly
+    shift = int(hue_factor * 255) % 256
+    np_h = (np_h.astype(np.int16) + shift).astype(np.uint8)
     h = Image.fromarray(np_h, "L")
     return Image.merge("HSV", (h, s, v)).convert(img.mode)
 

@@ -649,3 +649,44 @@ def test_transform_3_multi_map_agreement(ref):
         mism = np.abs(want - got) > 1e-6
         rows, cols = np.unique(np.nonzero(mism)[0]), np.unique(np.nonzero(mism)[1])
         assert min(len(rows), len(cols)) <= 2, (len(rows), len(cols))
+
+
+@pytest.mark.parametrize("op,factor", [
+    ("brightness", 0.8), ("brightness", 1.2),
+    ("contrast", 0.8), ("contrast", 1.2),
+    ("saturation", 0.8), ("saturation", 1.2),
+    ("hue", -0.15), ("hue", 0.2),
+])
+def test_photometric_ops_match_pil(ref, op, factor):
+    """Each jitter op at a forced factor vs PIL's ImageEnhance/HSV path
+    (what torchvision's ColorJitter executes, VOC.py:97-98).  PIL
+    quantizes to uint8 between steps; compare at quantization-level
+    tolerance."""
+    from PIL import Image
+
+    import torchvision.transforms.functional as tvf
+
+    from css_tpu.ops.photometric import color_jitter
+
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    pil = Image.fromarray(img_u8, "RGB")
+
+    fn = {"brightness": tvf.adjust_brightness,
+          "contrast": tvf.adjust_contrast,
+          "saturation": tvf.adjust_saturation,
+          "hue": tvf.adjust_hue}[op]
+    want = np.asarray(fn(pil, factor), np.float32) / 255.0
+
+    ident = (1.0, 1.0)
+    ranges = dict(brightness=ident, contrast=ident, saturation=ident,
+                  hue=(0.0, 0.0))
+    ranges[op] = (factor, factor)
+    img_cf = jnp.asarray(img_u8.transpose(2, 0, 1).astype(np.float32) / 255.0)
+    got = np.asarray(color_jitter(jax.random.key(0), img_cf, **ranges))
+    got = got.transpose(1, 2, 0)
+
+    tol = 0.05 if op == "hue" else 0.02   # PIL quantizes hue to 1/255 turns
+    err = np.abs(got - want)
+    assert err.mean() < tol / 3 and np.percentile(err, 99) < tol, (
+        op, factor, err.mean(), err.max())
