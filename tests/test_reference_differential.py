@@ -690,3 +690,141 @@ def test_photometric_ops_match_pil(ref, op, factor):
     err = np.abs(got - want)
     assert err.mean() < tol / 3 and np.percentile(err, 99) < tol, (
         op, factor, err.mean(), err.max())
+
+
+def test_loss_gradients_match_reference_autograd(ref):
+    """Not just values: dLoss/dlogits of the threshold and OHEM losses must
+    match torch autograd (the training signal itself)."""
+    from css_tpu.losses.cross_entropy import ohem_cross_entropy
+    from css_tpu.losses.threshold import attention_threshold_loss
+
+    torch.manual_seed(5)
+    b, c, h, w = 2, 11, 13, 15
+    pred_t = torch.randn(b, c, h, w, requires_grad=True)
+    labels = torch.randint(-1, c, (b, h, w))
+    labels[:, 0, 0] = 1
+    conf = torch.rand(b, h, w)
+
+    crit = ref["loss"].Attention_Threshold_Loss(strong_threshold=0.8)
+    crit(pred_t, labels.long(), conf).backward()
+    want = pred_t.grad.numpy().transpose(0, 2, 3, 1)
+
+    got = np.asarray(jax.grad(lambda p: attention_threshold_loss(
+        p, jnp.asarray(labels.numpy()), jnp.asarray(conf.numpy()),
+        strong_threshold=0.8))(
+        jnp.asarray(pred_t.detach().numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    pred_t2 = torch.randn(b, c, h, w, requires_grad=True)
+    ohem = ref["loss"].ProbOhemCrossEntropy2d(ignore_label=-1, thresh=0.7,
+                                              min_kept=120)
+    ohem(pred_t2, labels.long().clone()).backward()
+    want2 = pred_t2.grad.numpy().transpose(0, 2, 3, 1)
+    got2 = np.asarray(jax.grad(lambda p: ohem_cross_entropy(
+        p, jnp.asarray(labels.numpy()), thresh=0.7, min_kept=120))(
+        jnp.asarray(pred_t2.detach().numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got2, want2, atol=1e-6)
+
+
+def test_model_cross_forward_matches_reference(ref):
+    """Model_cross.forward (ddp_model.py:184-239): both label spaces kept,
+    prob_all from rep space at the cross temp."""
+    from css_tpu.models.convert import convert_full_model
+    from css_tpu.models.deeplabv3 import DeepLabV3PlusDual
+    from css_tpu.models.resnet import ResNetBackbone, StageSpec
+    from css_tpu.ops.interpolate import bilinear_resize
+    from css_tpu.train.train_step import _rep_space_probs
+
+    torch.manual_seed(1)
+    b, hw, c, d = 2, 65, 21, 32
+    temp = 0.5
+    config = {"Dataset": {"crop_size": (hw, hw), "scale_size": (1.0, 1.0),
+                          "mix_mode": "none"}}
+    model = ref["ddp"].Model_cross(
+        _PlainResNet(), num_classes=c, output_dim=d, config=config, temp=temp)
+    model.train()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    protos = np.random.default_rng(2).standard_normal((c, d)).astype(np.float32)
+    rng = np.random.default_rng(3)
+    l_raw = rng.integers(0, 256, size=(b, hw, hw, 3)).astype(np.float32) / 255.0
+    u_raw = rng.integers(0, 256, size=(b, hw, hw, 3)).astype(np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    l_img = torch.from_numpy(((l_raw - mean) / std).transpose(0, 3, 1, 2)).contiguous()
+    u_img = torch.from_numpy(((u_raw - mean) / std).transpose(0, 3, 1, 2)).contiguous()
+
+    # reference quirk: generate_cut_gather_3 has NO mode='none' passthrough
+    # (VOC.py:436-468 — its _1/_2 siblings do), so cross + mix_mode none
+    # would crash upstream; stub it to identity for the deterministic run
+    orig_rand = torch.rand
+    orig_g3 = ref["ddp"].generate_cut_gather_3
+    orig_bt3 = ref["ddp"].batch_transform_3
+    captured = {}
+
+    def spy_bt3(*a, **k):
+        out = orig_bt3(*a, **k)
+        captured["img"] = out[0].clone()   # PIL round trip truncates to uint8
+        return out
+
+    torch.rand = lambda *a, **k: torch.zeros(*a) if a else orig_rand(**k)
+    ref["ddp"].generate_cut_gather_3 = (
+        lambda im, l1, l2, g1, g2, mode=None: (im, l1.long(), l2.long(), g1, g2))
+    ref["ddp"].batch_transform_3 = spy_bt3
+    try:
+        with torch.no_grad():
+            (_, _, lab_cls_r, lab_rep_r, conf_cls_r, conf_rep_r,
+             _, prob_all_r) = model(l_img, u_img, torch.from_numpy(protos.copy()))
+    finally:
+        torch.rand = orig_rand
+        ref["ddp"].generate_cut_gather_3 = orig_g3
+        ref["ddp"].batch_transform_3 = orig_bt3
+
+    sd = {k: v.detach().numpy() for k, v in model.model.state_dict().items()}
+    backbone = ResNetBackbone(stages=(
+        StageSpec(64, 1, 1, 1, 1), StageSpec(128, 1, 2, 1, 1),
+        StageSpec(256, 1, 1, 1, 2), StageSpec(512, 1, 1, 2, 4)),
+        deep_stem=False)
+    our_model = DeepLabV3PlusDual(backbone=backbone, num_classes=c, output_dim=d)
+    params, stats = convert_full_model(sd, our_model)
+    variables = {"params": params, "batch_stats": stats}
+
+    def apply_train(img_nhwc):
+        (pred, rep), _ = our_model.apply(
+            variables, jnp.asarray(img_nhwc), train=True,
+            mutable=["batch_stats"])
+        return pred, rep
+
+    u_nhwc = (u_raw - mean) / std
+    pred_u_t, rep_u_t = apply_train(u_nhwc)
+    sim = _rep_space_probs(rep_u_t, jnp.asarray(protos), temp)
+    sim_large = bilinear_resize(sim, (hw, hw), align_corners=True)
+    rep_probs = jax.nn.softmax(sim_large / temp, axis=-1)
+    pred_large = bilinear_resize(pred_u_t, (hw, hw), align_corners=True)
+    cls_probs = jax.nn.softmax(pred_large, axis=-1)
+
+    # both label spaces survive in cross (ddp_model.py:202)
+    assert np.mean(lab_cls_r.numpy() !=
+                   np.asarray(jnp.argmax(cls_probs, -1))) < 0.01
+    assert np.mean(lab_rep_r.numpy() !=
+                   np.asarray(jnp.argmax(rep_probs, -1))) < 0.01
+    np.testing.assert_allclose(np.asarray(jnp.max(cls_probs, -1)),
+                               conf_cls_r.numpy(), atol=8e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(jnp.max(rep_probs, -1)),
+                               conf_rep_r.numpy(), atol=8e-3, rtol=1e-2)
+
+    # student rep-space prob_all at the cross temperature; the unlabeled
+    # student consumed the captured (uint8-truncated) aug image
+    l_nhwc = (l_raw - mean) / std
+    _, rep_l_s = apply_train(l_nhwc)
+    _, rep_u_s = apply_train(captured["img"].numpy().transpose(0, 2, 3, 1))
+    sim_all = _rep_space_probs(jnp.concatenate([rep_l_s, rep_u_s]),
+                               jnp.asarray(protos), temp)
+    prob_all = jax.nn.softmax(sim_all / temp, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(prob_all).transpose(0, 3, 1, 2), prob_all_r.numpy(),
+        atol=5e-3, rtol=1e-2)
