@@ -828,3 +828,75 @@ def test_model_cross_forward_matches_reference(ref):
     np.testing.assert_allclose(
         np.asarray(prob_all).transpose(0, 3, 1, 2), prob_all_r.numpy(),
         atol=5e-3, rtol=1e-2)
+
+
+def test_model_ori_pseudo_forward_matches_reference(ref):
+    """Model_ori_pseudo.forward (ddp_model.py:32-70): logit-space pseudo
+    labels from the teacher + dual student forward."""
+    from css_tpu.models.convert import convert_full_model
+    from css_tpu.models.deeplabv3 import DeepLabV3PlusDual
+    from css_tpu.models.resnet import ResNetBackbone, StageSpec
+    from css_tpu.ops.interpolate import bilinear_resize
+
+    torch.manual_seed(2)
+    b, hw, c, d = 2, 65, 21, 32
+    config = {"Dataset": {"crop_size": (hw, hw), "scale_size": (1.0, 1.0),
+                          "mix_mode": "none"}}
+    model = ref["ddp"].Model_ori_pseudo(
+        _PlainResNet(), num_classes=c, output_dim=d, config=config)
+    model.train()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(4)
+    l_raw = rng.integers(0, 256, size=(b, hw, hw, 3)).astype(np.float32) / 255.0
+    u_raw = rng.integers(0, 256, size=(b, hw, hw, 3)).astype(np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    l_img = torch.from_numpy(((l_raw - mean) / std).transpose(0, 3, 1, 2)).contiguous()
+    u_img = torch.from_numpy(((u_raw - mean) / std).transpose(0, 3, 1, 2)).contiguous()
+
+    orig_rand = torch.rand
+    torch.rand = lambda *a, **k: torch.zeros(*a) if a else orig_rand(**k)
+    try:
+        with torch.no_grad():
+            (pred_l_large_r, _, aug_label_r, aug_conf_r, _, _,
+             pred_u_large_raw_r) = model(l_img, u_img)
+    finally:
+        torch.rand = orig_rand
+
+    sd = {k: v.detach().numpy() for k, v in model.model.state_dict().items()}
+    backbone = ResNetBackbone(stages=(
+        StageSpec(64, 1, 1, 1, 1), StageSpec(128, 1, 2, 1, 1),
+        StageSpec(256, 1, 1, 1, 2), StageSpec(512, 1, 1, 2, 4)),
+        deep_stem=False)
+    our_model = DeepLabV3PlusDual(backbone=backbone, num_classes=c, output_dim=d)
+    params, stats = convert_full_model(sd, our_model)
+    variables = {"params": params, "batch_stats": stats}
+
+    def apply_train(img_nhwc):
+        (pred, rep), _ = our_model.apply(
+            variables, jnp.asarray(img_nhwc), train=True,
+            mutable=["batch_stats"])
+        return pred, rep
+
+    u_nhwc = (u_raw - mean) / std
+    pred_u_t, _ = apply_train(u_nhwc)
+    pred_large = bilinear_resize(pred_u_t, (hw, hw), align_corners=True)
+    probs = jax.nn.softmax(pred_large, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(pred_large).transpose(0, 3, 1, 2),
+        pred_u_large_raw_r.numpy(), atol=3e-3, rtol=1e-2)
+    assert np.mean(aug_label_r.numpy() !=
+                   np.asarray(jnp.argmax(probs, -1))) < 0.01
+    np.testing.assert_allclose(np.asarray(jnp.max(probs, -1)),
+                               aug_conf_r.numpy(), atol=8e-3, rtol=1e-2)
+
+    pred_l_s, _ = apply_train((l_raw - mean) / std)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_resize(pred_l_s, (hw, hw),
+                                   align_corners=True)).transpose(0, 3, 1, 2),
+        pred_l_large_r.numpy(), atol=3e-3, rtol=1e-2)
