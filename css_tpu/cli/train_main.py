@@ -258,7 +258,20 @@ def _retry_once(fn, log, what: str):
         return fn()
     except jax.errors.JaxRuntimeError as e:  # pragma: no cover - exercised
         log.info(f"WARNING {what} failed ({e}); retrying once")
-        return fn()
+        try:
+            return fn()
+        except RuntimeError as e2:
+            if "deleted" in str(e2).lower():
+                # the failed dispatch consumed the donated input buffers
+                # (sharded_train_step jits with donate_argnums=(0,)), so a
+                # retry cannot run; surface the ORIGINAL fault instead of a
+                # baffling "Array has been deleted"
+                raise RuntimeError(
+                    f"{what} failed and its donated input buffers were "
+                    f"already consumed; retry impossible — original error: "
+                    f"{e}"
+                ) from e
+            raise
 
 
 def _device_prefetch(batches, mesh, depth: int = 2):
@@ -328,7 +341,18 @@ def run_training(strategy: str, args) -> dict:
     )
     train_l, train_u, test_loader = _make_loaders(cfg, args, local_batch)
 
-    steps_per_epoch = max(len(train_l), 1)
+    if len(train_l) == 0:
+        # drop_last leaves zero batches when the labeled split is smaller
+        # than the per-process batch: the epoch loop would run no steps and
+        # first eval would crash on undefined metrics.  Fail fast instead
+        # (the reference has the same latent hole and just hangs/crashes).
+        raise ValueError(
+            f"labeled split too small: {args.num_labels} labels shard to "
+            f"fewer than one batch of {local_batch} per process "
+            f"(drop_last). Lower Dataset.batch_size / use fewer devices, or "
+            f"raise --num_labels."
+        )
+    steps_per_epoch = len(train_l)
     total_epoch = max(int(args.total_iter / steps_per_epoch), 1)
     log.info(f"total epochs: {total_epoch} ({steps_per_epoch} steps/epoch)")
 
@@ -363,6 +387,7 @@ def run_training(strategy: str, args) -> dict:
     # run-constant base key: the step derives its stream from state.step
     step_rng = jax.random.key(seed + 1)
     done = False
+    metrics = None  # set by the first train step; guarded at eval time
     for epoch in range(start_epoch, total_epoch):
         train_l.set_epoch(epoch)
         if strategy == "ori":
@@ -414,7 +439,9 @@ def run_training(strategy: str, args) -> dict:
                          "skipping this evaluation")
                 miou = -1.0
             best_miou = max(best_miou, miou) if miou >= 0 else best_miou
-            m = jax.device_get(metrics)
+            zero = jnp.float32(0.0)
+            m = jax.device_get(metrics) if metrics is not None else {
+                "total": zero, "sup": zero, "unsup": zero, "contrast": zero}
             tb.scalars(int(jax.device_get(state.step)), {
                 "eval/miou": miou, "loss/total": float(m["total"]),
                 "loss/sup": float(m["sup"]), "loss/unsup": float(m["unsup"]),

@@ -217,37 +217,41 @@ def prototype_contrastive_loss(
     p = jnp.where(jnp.isfinite(p), p, 0.0)
     cdf = jnp.cumsum(p, axis=-1)                       # [C, C]
     counts_f = counts_all.astype(jnp.float32)
-    offs_f = (off_all.astype(jnp.float32) if negative_mode == "sampled"
-              else None)  # offsets only exist for the grouped ordering
-
-    # ---- per-class InfoNCE (scan over classes; remat keeps residuals tiny) ----
-    @functools.partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-    def class_loss(anchor_c, cdf_c, u_cls, u_pix, proto_c):
-        # class of each negative = #{c : cdf[c] < u} (inverse-CDF without
-        # searchsorted); count/offset lookups are one-hot matmuls.
-        samp = jnp.sum((u_cls[:, None] > cdf_c[None, :]).astype(jnp.float32),
-                       axis=1).astype(jnp.int32)
-        samp = jnp.clip(samp, 0, num_classes - 1)      # [Q*G]
-        oh = jax.nn.one_hot(samp, num_classes, dtype=jnp.float32)
-        cnt = oh @ counts_f                            # exact small ints
-        off = oh @ offs_f
-        pos = (off + jnp.floor(u_pix * jnp.maximum(cnt, 1.0))).astype(jnp.int32)
-        # (measured: per-anchor ascending sort of the draws before this
-        # gather is a wash on v5e — the cost is per-row fetch, not locality)
-        negs = rep_sorted_n[pos].reshape(q, g, d)      # [Q, G, D] bf16 rows
-
-        a = _l2_normalize(anchor_c, axis=-1)           # [Q, D] f32 (grad)
-        pos_logit = (a @ proto_c)[:, None]             # [Q, 1]
-        neg_logit = jnp.einsum("qd,qgd->qg", a.astype(jnp.bfloat16), negs,
-                               preferred_element_type=jnp.float32)
-        logits = jnp.concatenate([pos_logit, neg_logit], axis=1) / temp
-        return jnp.mean(-logits[:, 0] + jax.scipy.special.logsumexp(logits, axis=1))
 
     contribute = local_valid & (counts_hard > 0)
 
     if negative_mode == "sampled":
+        # offsets into the grouped ordering only exist in this mode, so the
+        # per-class loss closing over them lives here too (keeps the None
+        # out of the expected branch's reach entirely).
+        offs_f = off_all.astype(jnp.float32)
         u_cls = jax.random.uniform(r_negcls, (num_classes, q * g))
         u_pix = jax.random.uniform(r_negpix, (num_classes, q * g))
+
+        # per-class InfoNCE (scan over classes; remat keeps residuals tiny)
+        @functools.partial(jax.checkpoint,
+                           policy=jax.checkpoint_policies.nothing_saveable)
+        def class_loss(anchor_c, cdf_c, u_cls, u_pix, proto_c):
+            # class of each negative = #{c : cdf[c] < u} (inverse-CDF without
+            # searchsorted); count/offset lookups are one-hot matmuls.
+            samp = jnp.sum((u_cls[:, None] > cdf_c[None, :]).astype(jnp.float32),
+                           axis=1).astype(jnp.int32)
+            samp = jnp.clip(samp, 0, num_classes - 1)      # [Q*G]
+            oh = jax.nn.one_hot(samp, num_classes, dtype=jnp.float32)
+            cnt = oh @ counts_f                            # exact small ints
+            off = oh @ offs_f
+            pos = (off + jnp.floor(u_pix * jnp.maximum(cnt, 1.0))).astype(jnp.int32)
+            # (measured: per-anchor ascending sort of the draws before this
+            # gather is a wash on v5e — the cost is per-row fetch, not locality)
+            negs = rep_sorted_n[pos].reshape(q, g, d)      # [Q, G, D] bf16 rows
+
+            a = _l2_normalize(anchor_c, axis=-1)           # [Q, D] f32 (grad)
+            pos_logit = (a @ proto_c)[:, None]             # [Q, 1]
+            neg_logit = jnp.einsum("qd,qgd->qg", a.astype(jnp.bfloat16), negs,
+                                   preferred_element_type=jnp.float32)
+            logits = jnp.concatenate([pos_logit, neg_logit], axis=1) / temp
+            return jnp.mean(-logits[:, 0]
+                            + jax.scipy.special.logsumexp(logits, axis=1))
 
         def body(total, inputs):
             anchor_c, cdf_c, uc, up, proto_c, contribute_c = inputs

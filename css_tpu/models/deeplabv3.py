@@ -91,6 +91,16 @@ class DeepLabV3PlusDual(nn.Module):
         GroupedBatchNorm).  Semantics-neutral for inference."""
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
         g = bn_groups
+        if (hasattr(self.backbone, "output_stride")
+                and self.backbone.output_stride != self.output_stride):
+            # a direct constructor passing an OS16 trunk but defaulting
+            # output_stride=8 would silently pick the wrong atrous rates
+            raise ValueError(
+                f"output_stride={self.output_stride} does not match the "
+                f"backbone's stage schedule (stride "
+                f"{self.backbone.output_stride}); pass the matching "
+                f"output_stride to DeepLabV3PlusDual (build_model does)."
+            )
         low, feat = self.backbone(x, train=train, groups=g)
         feat = ASPP(
             atrous_rates=self._aspp_rates(), name="aspp", **kw

@@ -301,6 +301,18 @@ class ResNetBackbone(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False  # recompute each bottleneck in backward (769^2 crops)
 
+    @property
+    def output_stride(self) -> int:
+        """Overall stride of the final feature map (stem /4 x stage strides).
+
+        Lets consumers (DeepLabV3PlusDual) cross-check their atrous-rate
+        schedule against the trunk actually wired in.
+        """
+        s = 4  # stride-2 stem conv + stride-2 max pool, both stem variants
+        for spec in self.stages:
+            s *= spec.stride
+        return s
+
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)

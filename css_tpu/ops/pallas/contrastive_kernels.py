@@ -113,12 +113,8 @@ def _run_bwd(a, r, w, inv_temp):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def weighted_exp_softsum(a, r, w, inv_temp):
-    """s[q] = sum_n w[n] * exp(inv_temp * <a[q], r[n]>).
-
-    ``a`` [Q, D] (differentiable), ``r`` [N, D] bf16 (stop-grad table),
-    ``w`` [N] f32.  Q and D should be multiples of (8, 128) tiles.
-    """
+def _weighted_exp_softsum_tiled(a, r, w, inv_temp):
+    """Core kernel dispatch; callers guarantee Q % 8 == 0 and D % 128 == 0."""
     return _run_fwd(a, r, w, inv_temp)
 
 
@@ -133,4 +129,32 @@ def _vjp_bwd(inv_temp, res, g):
     return da, None, None
 
 
-weighted_exp_softsum.defvjp(_vjp_fwd, _vjp_bwd)
+_weighted_exp_softsum_tiled.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def weighted_exp_softsum(a, r, w, inv_temp):
+    """s[q] = sum_n w[n] * exp(inv_temp * <a[q], r[n]>).
+
+    ``a`` [Q, D] (differentiable), ``r`` [N, D] bf16 (stop-grad table),
+    ``w`` [N] f32.  The TPU kernel needs Q and D on (8, 128) register-tile
+    multiples; arbitrary shapes are accepted here and zero-padded to the
+    tile grid (exact: zero feature columns add nothing to the dot products,
+    padded anchor rows are sliced off, and N is padded against zero
+    weights).  Inconsistent r/w shapes raise at this boundary instead of
+    somewhere inside Mosaic.
+    """
+    if a.ndim != 2 or r.ndim != 2 or a.shape[1] != r.shape[1]:
+        raise ValueError(
+            f"weighted_exp_softsum: need a [Q, D] and r [N, D] with matching "
+            f"D; got a {a.shape}, r {r.shape}")
+    if w.shape != (r.shape[0],):
+        raise ValueError(
+            f"weighted_exp_softsum: weights w must be [N]={r.shape[0]}, "
+            f"got {w.shape}")
+    q, d = a.shape
+    pad_q, pad_d = (-q) % 8, (-d) % 128
+    if pad_q or pad_d:
+        a = jnp.pad(a, ((0, pad_q), (0, pad_d)))
+        r = jnp.pad(r, ((0, 0), (0, pad_d)))
+    out = _weighted_exp_softsum_tiled(a, r, w, inv_temp)
+    return out[:q] if pad_q else out

@@ -47,6 +47,14 @@ def distributed_init(coordinator: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+        # SLURM rendezvous, the analog of the reference's env-driven
+        # ``dist_init`` (util/dist_init.py:1-31, which reads SLURM_PROCID/
+        # SLURM_NTASKS/SLURM_STEP_NODELIST).  jax.distributed ships a SLURM
+        # cluster detector that resolves coordinator/num_processes/process_id
+        # from the same variables, so a bare initialize() completes the
+        # rendezvous.
+        jax.distributed.initialize()
 
 
 def data_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:

@@ -99,11 +99,12 @@ def _to01_cf(images: jax.Array) -> jax.Array:
     return to_channel_first(images)
 
 
-def _rep_space_probs(rep: jax.Array, prototypes: jax.Array, temp: float):
-    """softmax(cos-sim(rep, prototypes)/temp) over classes.
+def _rep_space_probs(rep: jax.Array, prototypes: jax.Array):
+    """Cosine-similarity logits of each pixel rep against the prototypes.
 
-    Returns (similarity logits [B,h,w,C], softmax probs).  Mirrors
-    ddp_model.py:104-112,147-155.
+    Returns the raw similarity logits [B,h,w,C]; callers divide by their
+    temperature and softmax (ddp_model.py:104-112,147-155 do the same in
+    two steps).
     """
     rep_n = rep * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(rep * rep, axis=-1, keepdims=True), 1e-12)
@@ -167,7 +168,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
                 state.ema_params, ema_stats, u_img
             )
         if cfg.strategy != "ori":
-            sim = _rep_space_probs(rep_u_t, state.prototypes, cfg.rep_temp)
+            sim = _rep_space_probs(rep_u_t, state.prototypes)
             sim_large = bilinear_resize(sim, (ch, cw), align_corners=True)
             rep_probs = jax.nn.softmax(sim_large / cfg.rep_temp, axis=-1)
             conf_rep = jnp.max(rep_probs, axis=-1)
@@ -322,7 +323,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
                 )
             else:
                 sim = _rep_space_probs(
-                    jax.lax.stop_gradient(rep_all), state.prototypes, cfg.rep_temp
+                    jax.lax.stop_gradient(rep_all), state.prototypes
                 )
                 prob_all = jax.nn.softmax(sim / cfg.rep_temp, axis=-1)
 

@@ -136,9 +136,24 @@ int css_decode_png_canvas(const char* path, int32_t* canvas, int canvas_h,
   png_read_update_info(png, info);
   const int channels = static_cast<int>(png_get_channels(png, info));
 
-  std::vector<png_byte> row(png_get_rowbytes(png, info));
+  const size_t rowbytes = png_get_rowbytes(png, info);
+  const bool interlaced =
+      png_get_interlace_type(png, info) != PNG_INTERLACE_NONE;
+  std::vector<png_byte> buf;
+  if (interlaced) {
+    // Adam7 passes touch sparse pixels per row, so streaming png_read_row
+    // would decode garbage; read the whole image (png_read_image handles
+    // interlace internally), then widen row by row.
+    buf.resize(rowbytes * static_cast<size_t>(h));
+    std::vector<png_bytep> rows(static_cast<size_t>(h));
+    for (int y = 0; y < h; ++y) rows[y] = buf.data() + rowbytes * y;
+    png_read_image(png, rows.data());
+  } else {
+    buf.resize(rowbytes);
+  }
   for (int y = 0; y < h; ++y) {
-    png_read_row(png, row.data(), nullptr);
+    png_byte* row = buf.data() + (interlaced ? rowbytes * y : 0);
+    if (!interlaced) png_read_row(png, row, nullptr);
     int32_t* dst = canvas + static_cast<size_t>(y) * canvas_w;
     if (channels == 1) {
       for (int x = 0; x < w; ++x) dst[x] = row[x];
@@ -202,12 +217,25 @@ int css_decode_png_rgb_canvas(const char* path, uint8_t* canvas, int canvas_h,
     return 5;
   }
 
+  const bool interlaced =
+      png_get_interlace_type(png, info) != PNG_INTERLACE_NONE;
   if (w == canvas_w) {
     // canvas rows are contiguous with image rows: single sequential pass
+    // (png_read_image also runs the Adam7 passes itself when interlaced)
     std::vector<png_bytep> rows(static_cast<size_t>(h));
     for (int y = 0; y < h; ++y)
       rows[y] = canvas + static_cast<size_t>(y) * canvas_w * 3;
     png_read_image(png, rows.data());
+  } else if (interlaced) {
+    // streaming rows would interleave Adam7 passes into garbage; decode the
+    // whole image into a packed temp, then place rows at the canvas pitch
+    std::vector<png_byte> buf(static_cast<size_t>(h) * w * 3);
+    std::vector<png_bytep> rows(static_cast<size_t>(h));
+    for (int y = 0; y < h; ++y) rows[y] = buf.data() + static_cast<size_t>(y) * w * 3;
+    png_read_image(png, rows.data());
+    for (int y = 0; y < h; ++y)
+      std::memcpy(canvas + static_cast<size_t>(y) * canvas_w * 3, rows[y],
+                  static_cast<size_t>(w) * 3);
   } else {
     for (int y = 0; y < h; ++y) {
       png_bytep dst = canvas + static_cast<size_t>(y) * canvas_w * 3;

@@ -164,7 +164,8 @@ def main():
         imgs, sizes = [], []
         for f in chunk:
             im = np.asarray(Image.open(f).convert("RGB"), np.uint8)
-            h, w = im.shape[:2]
+            oh, ow = im.shape[:2]
+            h, w = oh, ow
             if h > ch or w > cw:
                 scale = min(ch / h, cw / w)
                 im = np.asarray(Image.fromarray(im).resize(
@@ -173,19 +174,24 @@ def main():
             pad = np.zeros((ch, cw, 3), np.uint8)
             pad[:h, :w] = im
             imgs.append(pad)
-            sizes.append((h, w))
+            sizes.append((h, w, oh, ow))
         batch = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
         batch = normalize_imagenet(batch, channel_axis=-1)
         yhat = np.asarray(predict(params, stats, batch))
-        for f, pred, (h, w) in zip(chunk, yhat, sizes):
+        for f, pred, (h, w, oh, ow) in zip(chunk, yhat, sizes):
             name = os.path.splitext(os.path.basename(f))[0]
             lab = pred[:h, :w].astype(np.uint8)
+            if (h, w) != (oh, ow):
+                # inference ran on a downscaled copy; bring the label map
+                # back to the original resolution so outputs align with the
+                # input pixels (nearest keeps class ids intact)
+                lab = np.asarray(Image.fromarray(lab, "L").resize(
+                    (ow, oh), Image.NEAREST))
             Image.fromarray(lab, "L").save(
                 os.path.join(args.out_dir, f"{name}_pred.png"))
             if args.overlay:
                 rgb = colors[lab]
-                base = np.asarray(Image.open(f).convert("RGB").resize(
-                    (w, h), Image.BILINEAR), np.uint8)
+                base = np.asarray(Image.open(f).convert("RGB"), np.uint8)
                 mix = (0.5 * base + 0.5 * rgb).astype(np.uint8)
                 Image.fromarray(mix).save(
                     os.path.join(args.out_dir, f"{name}_overlay.png"))

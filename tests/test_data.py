@@ -207,3 +207,76 @@ def test_cityscapes_spec_native_png_decode(tmp_path):
     np.testing.assert_array_equal(icanvas[:50, :70], img)
     np.testing.assert_array_equal(lcanvas[:50, :70], lab.astype(np.int32))
     assert (lcanvas[50:] == 255).all()
+
+
+def _write_interlaced_png(path, arr):
+    """Minimal Adam7-interlaced PNG writer (PIL cannot write interlaced).
+
+    ``arr`` is uint8 [H, W] (grayscale, color type 0) or [H, W, 3] (RGB,
+    color type 2).  Each interlace pass serializes its sub-image rows with
+    filter byte 0; all passes concatenate into one zlib stream (PNG spec
+    section 8.2).
+    """
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    color_type = 2 if arr.ndim == 3 else 0
+    # (x0, y0, dx, dy) for Adam7 passes 1..7
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter: None
+            raw.extend(row.tobytes())
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)  # interlace=1
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw))))
+        f.write(chunk(b"IEND", b""))
+
+
+def test_native_decode_interlaced_png(tmp_path):
+    """Adam7 PNGs must decode correctly on BOTH canvas-width paths (the
+    streaming png_read_row path used to silently interleave passes into
+    garbage; advisor round-2 finding)."""
+    from PIL import Image
+
+    from css_tpu.data import native_io
+
+    if not native_io.native_available():
+        pytest.skip("native runtime not built")
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)
+    lab = rng.integers(0, 19, size=(21, 13), dtype=np.uint8)
+    rgb_path = str(tmp_path / "interlaced_rgb.png")
+    lab_path = str(tmp_path / "interlaced_lab.png")
+    _write_interlaced_png(rgb_path, img)
+    _write_interlaced_png(lab_path, lab)
+    # sanity: PIL agrees the files are valid interlaced PNGs
+    np.testing.assert_array_equal(np.asarray(Image.open(rgb_path)), img)
+    np.testing.assert_array_equal(np.asarray(Image.open(lab_path)), lab)
+
+    # wide canvas -> non-contiguous row path
+    canvas = np.zeros((32, 32, 3), np.uint8)
+    assert native_io.decode_png_rgb_canvas(rgb_path, canvas) == (21, 13)
+    np.testing.assert_array_equal(canvas[:21, :13], img)
+    # exact-width canvas -> png_read_image fast path
+    tight = np.zeros((21, 13, 3), np.uint8)
+    assert native_io.decode_png_rgb_canvas(rgb_path, tight) == (21, 13)
+    np.testing.assert_array_equal(tight, img)
+
+    lcanvas = np.full((32, 32), 255, np.int32)
+    assert native_io.decode_png_label_canvas(lab_path, lcanvas) == (21, 13)
+    np.testing.assert_array_equal(lcanvas[:21, :13], lab.astype(np.int32))

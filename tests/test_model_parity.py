@@ -213,3 +213,31 @@ def test_atrous_decomposition_matches_dilated_conv():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_output_stride_mismatch_raises():
+    """DeepLabV3PlusDual cross-checks its atrous schedule against the trunk's
+    actual stage strides (advisor round 2: a direct constructor with an OS16
+    trunk and the OS8 default silently used the wrong rates)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from css_tpu.models.deeplabv3 import DeepLabV3PlusDual
+    from css_tpu.models.resnet import ResNetBackbone, StageSpec
+
+    os16_trunk = ResNetBackbone(stages=(
+        StageSpec(8, 1, 1, 1, 1),
+        StageSpec(16, 1, 2, 1, 1),
+        StageSpec(32, 1, 2, 1, 1),
+        StageSpec(64, 1, 1, 1, 2),
+    ))
+    assert os16_trunk.output_stride == 16
+    model = DeepLabV3PlusDual(backbone=os16_trunk, num_classes=6,
+                              output_dim=16)  # output_stride defaults to 8
+    with pytest.raises(ValueError, match="does not match the backbone"):
+        model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    # matching declaration initializes fine
+    ok = DeepLabV3PlusDual(backbone=os16_trunk, num_classes=6, output_dim=16,
+                           output_stride=16)
+    ok.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)

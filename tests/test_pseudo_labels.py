@@ -16,7 +16,7 @@ def test_rep_space_probs_is_cosine_similarity():
     rng = np.random.default_rng(0)
     rep = rng.standard_normal((2, 4, 5, 8)).astype(np.float32)
     protos = rng.standard_normal((6, 8)).astype(np.float32)
-    sim = np.asarray(_rep_space_probs(jnp.asarray(rep), jnp.asarray(protos), 0.5))
+    sim = np.asarray(_rep_space_probs(jnp.asarray(rep), jnp.asarray(protos)))
     rn = rep / np.linalg.norm(rep, axis=-1, keepdims=True)
     pn = protos / np.linalg.norm(protos, axis=-1, keepdims=True)
     want = np.einsum("bhwd,cd->bhwc", rn, pn)
@@ -40,6 +40,6 @@ def test_zero_prototypes_give_uniform_rep_probs():
 
     rep = jnp.asarray(np.random.default_rng(1).standard_normal((1, 3, 3, 8)),
                       jnp.float32)
-    sim = _rep_space_probs(rep, jnp.zeros((5, 8)), 0.5)
+    sim = _rep_space_probs(rep, jnp.zeros((5, 8)))
     probs = jax.nn.softmax(np.asarray(sim) / 0.5, axis=-1)
     np.testing.assert_allclose(np.asarray(probs), 0.2, atol=1e-6)

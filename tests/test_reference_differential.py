@@ -444,7 +444,7 @@ def test_model_mix_forward_matches_reference(ref):
 
     # teacher: rep-space + cls-space pseudo labels (ddp_model.py:102-118)
     pred_u_t, rep_u_t = apply_train(u_nhwc)
-    sim = _rep_space_probs(rep_u_t, jnp.asarray(protos), 0.5)
+    sim = _rep_space_probs(rep_u_t, jnp.asarray(protos))
     sim_large = bilinear_resize(sim, (hw, hw), align_corners=True)
     rep_probs = jax.nn.softmax(sim_large / 0.5, axis=-1)
     lab_rep = jnp.argmax(rep_probs, axis=-1)
@@ -482,7 +482,7 @@ def test_model_mix_forward_matches_reference(ref):
         pred_u_large.numpy(), atol=3e-3, rtol=1e-2)
 
     rep_all_ours = jnp.concatenate([rep_l_s, rep_u_s])
-    sim_all = _rep_space_probs(rep_all_ours, jnp.asarray(protos), 0.5)
+    sim_all = _rep_space_probs(rep_all_ours, jnp.asarray(protos))
     prob_all_ours = jax.nn.softmax(sim_all / 0.5, axis=-1)
     np.testing.assert_allclose(
         np.asarray(prob_all_ours).transpose(0, 3, 1, 2),
@@ -801,7 +801,7 @@ def test_model_cross_forward_matches_reference(ref):
 
     u_nhwc = (u_raw - mean) / std
     pred_u_t, rep_u_t = apply_train(u_nhwc)
-    sim = _rep_space_probs(rep_u_t, jnp.asarray(protos), temp)
+    sim = _rep_space_probs(rep_u_t, jnp.asarray(protos))
     sim_large = bilinear_resize(sim, (hw, hw), align_corners=True)
     rep_probs = jax.nn.softmax(sim_large / temp, axis=-1)
     pred_large = bilinear_resize(pred_u_t, (hw, hw), align_corners=True)
@@ -823,7 +823,7 @@ def test_model_cross_forward_matches_reference(ref):
     _, rep_l_s = apply_train(l_nhwc)
     _, rep_u_s = apply_train(captured["img"].numpy().transpose(0, 2, 3, 1))
     sim_all = _rep_space_probs(jnp.concatenate([rep_l_s, rep_u_s]),
-                               jnp.asarray(protos), temp)
+                               jnp.asarray(protos))
     prob_all = jax.nn.softmax(sim_all / temp, axis=-1)
     np.testing.assert_allclose(
         np.asarray(prob_all).transpose(0, 3, 1, 2), prob_all_r.numpy(),
