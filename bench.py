@@ -19,7 +19,12 @@ Metric: images/sec/chip counting labeled+unlabeled.  ``vs_baseline`` divides
 by an A100 estimate of the reference implementation: ~20 img/s/GPU —
 generous to the reference, assuming its compute at 40% MFU with the
 in-forward PIL round trips and host-bound contrastive sampling fully hidden
-(they are not; see SURVEY.md section 3.2).  North star: vs_baseline >= 2.0.
+(they are not; see SURVEY.md section 3.2).  Grounding measurement (round 3,
+this box's CPU, tools note in docs/perf_round3.md): the reference's
+IN-FORWARD serial aug chain (batch_transform -> generate_cut_gather ->
+batch_transform, ddp_model.py:38-57) costs 1271 ms per b8 512^2 step =
+a 12.6 img/s host-side ceiling that no GPU overlap can hide, so 20 img/s
+is an upper bound, not a typical figure.  North star: vs_baseline >= 2.0.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """

@@ -116,11 +116,22 @@ class GroupedBatchNorm(nn.Module):
 
         if not self.is_initializing():
             # sequential EMA, group 0 first — the order the reference's
-            # two-pass forward applied (labeled update, then unlabeled)
+            # two-pass forward applied (labeled update, then unlabeled).
+            # torch updates running_var with the UNBIASED batch variance
+            # (n/(n-1)); negligible for spatial BNs (n = B*H*W) but a 2x
+            # factor for the ASPP global-pool BN (n = B = 2) — caught by the
+            # composed train-step differential.
+            n = 1
+            for i in red:
+                n *= xg.shape[i]
+            if self.axis_name is not None:
+                n = n * jax.lax.psum(1, self.axis_name)
+            bessel = jnp.float32(n) / jnp.maximum(jnp.float32(n) - 1.0, 1.0)
             new_mean, new_var = ra_mean.value, ra_var.value
             for gi in range(g):
                 new_mean = self.momentum * new_mean + (1 - self.momentum) * mean_g[gi]
-                new_var = self.momentum * new_var + (1 - self.momentum) * var_g[gi]
+                new_var = (self.momentum * new_var
+                           + (1 - self.momentum) * var_g[gi] * bessel)
             ra_mean.value = new_mean
             ra_var.value = new_var
         return y
