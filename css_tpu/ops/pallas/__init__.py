@@ -1,3 +1,6 @@
-from css_tpu.ops.pallas.contrastive_kernels import weighted_exp_softsum
+from css_tpu.ops.pallas.contrastive_kernels import (
+    weighted_exp_softsum,
+    weighted_exp_softsum_stochastic,
+)
 
-__all__ = ["weighted_exp_softsum"]
+__all__ = ["weighted_exp_softsum", "weighted_exp_softsum_stochastic"]

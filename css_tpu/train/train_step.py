@@ -77,7 +77,7 @@ class StepConfig:
     proto_alpha: float = 0.99
     ema_alpha: float = 0.99
     contrast_enabled: bool = True             # Loss.is_available in the YAML
-    negative_mode: str = "sampled"            # sampled (reference) | expected
+    negative_mode: str = "sampled_pallas"     # see losses/contrastive.py modes
     fused_forward: bool = False               # one batched pass over l+u
     # (semantics-exact when enabled: GroupedBatchNorm keeps per-half BN
     # statistics and the reference's sequential running-stat update order

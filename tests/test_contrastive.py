@@ -197,3 +197,57 @@ def test_expected_pallas_equals_expected_xla():
     finally:
         if jax.default_backend() != "tpu":
             ck.pl.pallas_call = orig
+
+
+def test_sampled_pallas_mode_law_and_determinism():
+    """sampled_pallas (thinned-multinomial streaming negatives): same
+    prototype side effect as every other mode, deterministic per key,
+    finite gradients, and seed-mean converging to the expected-mode loss."""
+    rng = np.random.default_rng(9)
+    b, h, w, d, c = 2, 8, 8, 16, 5
+    rep = rng.standard_normal((b, h, w, d)).astype(np.float32)
+    lab = rng.integers(0, c, size=(b, h, w))
+    onehot = np.eye(c, dtype=np.float32)[lab]
+    mask = (rng.random((b, h, w)) > 0.3).astype(np.float32)
+    logits = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    protos = rng.standard_normal((c, d)).astype(np.float32)
+
+    def run(mode, key):
+        return prototype_contrastive_loss(
+            jnp.asarray(rep), jnp.asarray(onehot), jnp.asarray(mask),
+            jnp.asarray(prob), jnp.asarray(protos), key,
+            num_queries=8, num_negatives=64, temp=0.5,
+            strong_threshold=0.97, alpha=0.99, negative_mode=mode,
+        )
+
+    l1, p1 = run("sampled_pallas", jax.random.key(3))
+    l2, p2 = run("sampled_pallas", jax.random.key(3))
+    l3, _ = run("sampled_pallas", jax.random.key(4))
+    le, pe = run("expected", jax.random.key(3))
+    assert float(l1) == float(l2)                 # deterministic per key
+    assert float(l1) != float(l3)                 # varies with key
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(pe), atol=1e-6)
+
+    # seed-mean ~ expected-mode value (G=64 Monte Carlo)
+    vals = [float(run("sampled_pallas", jax.random.key(100 + t))[0])
+            for t in range(25)]
+    se = np.std(vals) / np.sqrt(len(vals))
+    assert abs(np.mean(vals) - float(le)) < 4 * se + 0.03, (
+        np.mean(vals), float(le), se)
+
+    # gradient flows and is finite
+    def loss_fn(r_):
+        loss, _ = prototype_contrastive_loss(
+            r_, jnp.asarray(onehot), jnp.asarray(mask), jnp.asarray(prob),
+            jnp.asarray(protos), jax.random.key(3),
+            num_queries=8, num_negatives=64, temp=0.5,
+            strong_threshold=0.97, alpha=0.99,
+            negative_mode="sampled_pallas",
+        )
+        return loss
+
+    g = jax.grad(loss_fn)(jnp.asarray(rep))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0

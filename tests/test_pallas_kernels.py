@@ -96,3 +96,36 @@ def test_weighted_exp_softsum_shape_boundary():
     np.testing.assert_allclose(np.asarray(jax.grad(f)(jnp.asarray(a))),
                                np.asarray(jax.grad(f_ref)(jnp.asarray(a))),
                                rtol=5e-2, atol=1e-3)
+
+
+def test_weighted_exp_softsum_dead_tile_skip_exact():
+    """Tiles whose weights are all zero are skipped in-kernel; the result
+    must be identical to the dense computation (the skip is exact, not an
+    approximation — w=0 rows contribute nothing either way)."""
+    rng = np.random.default_rng(11)
+    q, d, n = 16, 128, 4 * ck.TILE_N
+    a = (rng.standard_normal((q, d)) * 0.1).astype(np.float32)
+    r = (rng.standard_normal((n, d)) * 0.1).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+    w[n // 2:] = 0.0        # the contiguous "unlabeled masked" tail
+
+    inv_t = 2.0
+    got = np.asarray(ck.weighted_exp_softsum(
+        jnp.asarray(a), jnp.asarray(r, jnp.bfloat16), jnp.asarray(w), inv_t))
+    logits = (a @ np.asarray(
+        jnp.asarray(r, jnp.bfloat16).astype(jnp.float32)).T) * inv_t
+    want = (np.exp(logits) * w[None, :]).sum(1)
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+
+    # gradient path skips the same tiles
+    def f(aa):
+        return jnp.sum(jnp.log(ck.weighted_exp_softsum(
+            aa, jnp.asarray(r, jnp.bfloat16), jnp.asarray(w), inv_t)))
+
+    def f_ref(aa):
+        lg = (aa @ jnp.asarray(r, jnp.bfloat16).astype(jnp.float32).T) * inv_t
+        return jnp.sum(jnp.log((jnp.exp(lg) * w[None, :]).sum(1)))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(jnp.asarray(a))),
+                               np.asarray(jax.grad(f_ref)(jnp.asarray(a))),
+                               rtol=5e-2, atol=1e-3)

@@ -183,6 +183,19 @@ def test_contrast_sampled_loss_distribution(ref):
         q=q, g=g, mode="expected")
     assert abs(ref_m - exp_loss) < 6 * np.std(ref_vals) / np.sqrt(trials) + 0.05
 
+    # the gather-free thinned-multinomial estimator (sampled_pallas; XLA
+    # fallback law on CPU, Pallas PRNG kernel on TPU) is a Monte-Carlo
+    # estimator of the same objective — same seed-distribution band
+    sp_vals = []
+    for t in range(trials):
+        loss, _ = _ours_contrast(
+            rep, onehot, mask, prob, base_protos.copy(),
+            jax.random.key(3000 + t), q=q, g=g, mode="sampled_pallas")
+        sp_vals.append(loss)
+    sp_m = np.mean(sp_vals)
+    se_sp = np.sqrt(np.var(ref_vals) / trials + np.var(sp_vals) / trials)
+    assert abs(ref_m - sp_m) < 4 * se_sp + 0.02, (ref_m, sp_m, se_sp)
+
 
 # --------------------------------------------------------------------------
 # geometry: reference `transform` vs apply_geometric at forced params
