@@ -310,7 +310,11 @@ class ResNetBackbone(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
-    remat: bool = False  # recompute each bottleneck in backward (769^2 crops)
+    # recompute bottlenecks in backward: True = every stage (769^2 crops);
+    # a tuple of 0-based stage indices remats only those stages (e.g. (2,)
+    # remats layer3 alone — a FLOPs-for-HBM-traffic trade for the
+    # bandwidth-bound 512^2 step, docs/perf_round3.md)
+    remat: Any = False
 
     @property
     def output_stride(self) -> int:
@@ -327,11 +331,13 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        block_cls = (
-            nn.remat(Bottleneck, static_argnums=(2, 3),
-                     policy=jax.checkpoint_policies.nothing_saveable)
-            if self.remat else Bottleneck
-        )
+        remat_block = nn.remat(Bottleneck, static_argnums=(2, 3),
+                               policy=jax.checkpoint_policies.nothing_saveable)
+
+        def stage_block_cls(si):
+            if isinstance(self.remat, (tuple, list)):
+                return remat_block if si in tuple(self.remat) else Bottleneck
+            return remat_block if self.remat else Bottleneck
         if self.deep_stem:
             x = ConvBN(64, 3, 2, relu=True, name="stem1", **kw)(x, train, groups)
             x = ConvBN(64, 3, 1, relu=True, name="stem2", **kw)(x, train, groups)
@@ -345,6 +351,7 @@ class ResNetBackbone(nn.Module):
         low_level = None
         in_planes = 128 if self.deep_stem else 64
         for si, spec in enumerate(self.stages):
+            block_cls = stage_block_cls(si)
             for bi in range(spec.blocks):
                 first = bi == 0
                 x = block_cls(

@@ -241,3 +241,41 @@ def test_output_stride_mismatch_raises():
     ok = DeepLabV3PlusDual(backbone=os16_trunk, num_classes=6, output_dim=16,
                            output_stride=16)
     ok.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+
+def test_per_stage_remat_is_semantics_preserving():
+    """ResNetBackbone.remat=(si,...) remats only those stages; outputs,
+    params, and gradients must be identical to the no-remat trunk (remat
+    trades FLOPs for saved activations, never numerics)."""
+    import jax
+
+    from css_tpu.models.resnet import ResNetBackbone, StageSpec
+
+    stages = (
+        StageSpec(4, 1, 1, 1, 1),
+        StageSpec(8, 1, 2, 1, 1),
+        StageSpec(8, 2, 1, 1, 2),
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3), np.float32))
+
+    outs, grads = [], []
+    for remat in (False, (2,), True):
+        net = ResNetBackbone(stages=stages, remat=remat)
+        variables = net.init(jax.random.key(0), x, train=False)
+
+        def loss(params):
+            low, final = net.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=False)
+            return jnp.sum(final**2) + jnp.sum(low)
+
+        outs.append(float(loss(variables["params"])))
+        grads.append(jax.grad(loss)(variables["params"]))
+
+    assert outs[0] == outs[1] == outs[2]
+    # recompute can reassociate float reductions — tight but not bit-exact
+    for other in grads[1:]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+            grads[0], other)
