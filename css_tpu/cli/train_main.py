@@ -92,8 +92,11 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         backbone=cfg.get("Network.backbone", "resnet101"),
         dtype=dtype,
         axis_name=DATA_AXIS,
-        remat=bool(cfg.get("Network.remat",
-                           cfg.get("Dataset.name") == "CityScapes")),
+        # bool, or a YAML list of 0-based stage indices to remat only those
+        # stages (per-stage knob, docs/perf_round3.md) — coerced to a tuple
+        # so the flax module field stays hashable
+        remat=(lambda r: tuple(r) if isinstance(r, (list, tuple)) else bool(r))(
+            cfg.get("Network.remat", cfg.get("Dataset.name") == "CityScapes")),
     )
     tx = make_optimizer(
         base_lr=float(cfg.require("Optim.lr")),
