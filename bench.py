@@ -5,7 +5,8 @@ Primary metric (the JSON ``value``): the reference-faithful flagship recipe —
 VOC baseline, ori_pseudo strategy, ``negative_mode='sampled_pallas'`` (the
 reference's Monte-Carlo negative-sampling law, computed gather-free: the
 multiset negative sum streams through the Pallas InfoNCE kernel with
-binomially-thinned per-pixel multiplicities, marginal means exact; see
+binomially-thinned per-pixel multiplicities drawn XLA-side, marginal means
+exact, one multiset shared per class's anchors; see
 css_tpu/ops/pallas/contrastive_kernels.py and the seed-distribution
 differential in tests/test_reference_differential.py): DeepLabV3+
 ResNet-101 OS8, 512x512 crops, batch 8 labeled + 8 unlabeled per chip, full
@@ -117,7 +118,10 @@ def main():
     primary = bench_recipe(backbone="resnet101", crop=512, batch=8,
                            sup_loss="ce", negative_mode="sampled_pallas",
                            remat=False)
-    extra = {"voc_sampled": round(primary, 2)}
+    # (key renamed from the pre-round-3 'voc_sampled', which carried the
+    # draw-by-draw estimator — now 'voc_sampled_exact' below — so trend
+    # tooling never compares different estimators under one key)
+    extra = {"voc_sampled_pallas": round(primary, 2)}
 
     for name, kw in (
         ("voc_sampled_exact",

@@ -94,8 +94,11 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         axis_name=DATA_AXIS,
         # bool, or a YAML list of 0-based stage indices to remat only those
         # stages (per-stage knob, docs/perf_round3.md) — coerced to a tuple
-        # so the flax module field stays hashable
-        remat=(lambda r: tuple(r) if isinstance(r, (list, tuple)) else bool(r))(
+        # so the flax module field stays hashable; a bare int means that one
+        # stage (NOT bool(int), which would silently remat everything)
+        remat=(lambda r: tuple(r) if isinstance(r, (list, tuple))
+               else ((r,) if isinstance(r, int) and not isinstance(r, bool)
+                     else bool(r)))(
             cfg.get("Network.remat", cfg.get("Dataset.name") == "CityScapes")),
     )
     tx = make_optimizer(

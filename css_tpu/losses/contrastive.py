@@ -152,13 +152,18 @@ def prototype_contrastive_loss(
       * ``sampled_pallas`` — the reference's Monte-Carlo *sampling* law,
         gather-free: the multiset negative sum equals
         sum_n m_n exp(sim_n/temp) with multiplicities
-        m ~ Multinomial(G, p/count); a streaming Pallas kernel draws
-        binomially-thinned multiplicities (floor(lam) + Bernoulli(frac),
-        lam = G*p/count — marginal means exact) per (anchor, pixel) from
-        the on-core PRNG while it streams the table.  Removes the measured
-        ~50 ms/step per-row-fetch wall of ``sampled`` (CLAUDE.md round-3
-        lever #4); the relaxation is the fixed-total-G constraint,
-        an O(1/sqrt(G)) denominator perturbation.
+        m ~ Multinomial(G, p/count).  Binomially-thinned per-pixel
+        multiplicities (floor(lam) + Bernoulli(frac), lam = G*p/count —
+        marginal means exact) are drawn XLA-side per class and streamed
+        through the Pallas kernel as the weight vector.  Removes the
+        measured ~50 ms/step per-row-fetch wall of ``sampled`` (CLAUDE.md
+        round-3 lever #4).  Two relaxations vs the reference law, both
+        bounded by the seed-distribution differential test: the
+        fixed-total-G constraint (an O(1/sqrt(G)) denominator
+        perturbation), and ONE multiset shared by a class's Q anchors
+        instead of per-anchor-independent draws (identical marginal law
+        per anchor; gradient noise correlates within a class's anchors —
+        use ``sampled`` if per-anchor independence matters).
     """
     b, h, w, d = rep.shape
     num_classes = label_onehot.shape[-1]

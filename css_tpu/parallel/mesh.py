@@ -47,13 +47,17 @@ def distributed_init(coordinator: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+    elif (int(os.environ.get("SLURM_NTASKS", "1")) > 1
+          and "SLURM_STEP_NODELIST" in os.environ):
         # SLURM rendezvous, the analog of the reference's env-driven
         # ``dist_init`` (util/dist_init.py:1-31, which reads SLURM_PROCID/
         # SLURM_NTASKS/SLURM_STEP_NODELIST).  jax.distributed ships a SLURM
         # cluster detector that resolves coordinator/num_processes/process_id
         # from the same variables, so a bare initialize() completes the
-        # rendezvous.
+        # rendezvous.  Gated on SLURM_STEP_NODELIST (set by srun for real
+        # job steps, like the reference's detector) so a single-process run
+        # inside a multi-task *allocation* (sbatch/salloc with --ntasks>1
+        # but no srun) doesn't block waiting for peers that never start.
         jax.distributed.initialize()
 
 

@@ -133,12 +133,17 @@ int css_decode_png_canvas(const char* path, int32_t* canvas, int canvas_h,
   if (depth < 8) png_set_packing(png);
   if (color == PNG_COLOR_TYPE_GRAY_ALPHA || color == PNG_COLOR_TYPE_RGB_ALPHA)
     png_set_strip_alpha(png);
+  const bool interlaced =
+      png_get_interlace_type(png, info) != PNG_INTERLACE_NONE;
+  // libpng requires interlace handling to be registered BEFORE
+  // png_read_update_info when png_read_image will run the Adam7 passes;
+  // omitting it is an application error (warning spam, fatal on
+  // benign-error-disabled builds)
+  if (interlaced) png_set_interlace_handling(png);
   png_read_update_info(png, info);
   const int channels = static_cast<int>(png_get_channels(png, info));
 
   const size_t rowbytes = png_get_rowbytes(png, info);
-  const bool interlaced =
-      png_get_interlace_type(png, info) != PNG_INTERLACE_NONE;
   std::vector<png_byte> buf;
   if (interlaced) {
     // Adam7 passes touch sparse pixels per row, so streaming png_read_row
@@ -210,15 +215,16 @@ int css_decode_png_rgb_canvas(const char* path, uint8_t* canvas, int canvas_h,
     png_set_gray_to_rgb(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   png_set_strip_alpha(png);
+  const bool interlaced =
+      png_get_interlace_type(png, info) != PNG_INTERLACE_NONE;
+  // see css_decode_png_canvas: must be registered before update_info
+  if (interlaced) png_set_interlace_handling(png);
   png_read_update_info(png, info);
   if (png_get_channels(png, info) != 3 || png_get_bit_depth(png, info) != 8) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
     return 5;
   }
-
-  const bool interlaced =
-      png_get_interlace_type(png, info) != PNG_INTERLACE_NONE;
   if (w == canvas_w) {
     // canvas rows are contiguous with image rows: single sequential pass
     // (png_read_image also runs the Adam7 passes itself when interlaced)

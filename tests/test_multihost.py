@@ -44,3 +44,35 @@ def test_two_process_eval_reduction():
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid}: multihost eval ok" in out
         assert f"proc {pid}: multihost train ok" in out
+
+
+def test_slurm_autodetect_requires_real_job_step(monkeypatch):
+    """distributed_init only auto-initializes under SLURM when the process is
+    part of a real srun job step (SLURM_STEP_NODELIST set, as the reference's
+    dist_init reads) — a single-process run inside a multi-task *allocation*
+    must stay a no-op instead of blocking on peers that never start."""
+    import jax
+
+    from css_tpu.parallel.mesh import distributed_init
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+
+    # allocation without a job step: no-op
+    monkeypatch.setenv("SLURM_NTASKS", "8")
+    monkeypatch.delenv("SLURM_STEP_NODELIST", raising=False)
+    distributed_init()
+    assert calls == []
+
+    # real srun step: rendezvous via the env detector
+    monkeypatch.setenv("SLURM_STEP_NODELIST", "node[0-7]")
+    distributed_init()
+    assert calls == [((), {})]
+
+    # explicit coordinator always wins over env sniffing
+    calls.clear()
+    distributed_init(coordinator="localhost:1234", num_processes=2,
+                     process_id=1)
+    assert calls and calls[0][1]["coordinator_address"] == "localhost:1234"

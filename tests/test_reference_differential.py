@@ -183,9 +183,10 @@ def test_contrast_sampled_loss_distribution(ref):
         q=q, g=g, mode="expected")
     assert abs(ref_m - exp_loss) < 6 * np.std(ref_vals) / np.sqrt(trials) + 0.05
 
-    # the gather-free thinned-multinomial estimator (sampled_pallas; XLA
-    # fallback law on CPU, Pallas PRNG kernel on TPU) is a Monte-Carlo
-    # estimator of the same objective — same seed-distribution band
+    # the gather-free thinned-multinomial estimator (sampled_pallas;
+    # multiplicities drawn XLA-side, streamed through the Pallas kernel on
+    # TPU / a dense dot on CPU) is a Monte-Carlo estimator of the same
+    # objective — same seed-distribution band
     sp_vals = []
     for t in range(trials):
         loss, _ = _ours_contrast(
