@@ -182,7 +182,8 @@ def _make_loaders(cfg, args, local_batch):
     num_classes = cfg.require("Network.num_class")
     canvas = tuple(cfg.get("Dataset.canvas_size", cfg.require("Dataset.crop_size")))
     train_spec, test_spec = build_dataset_specs(
-        name, cfg.get("Dataset.data_dir", ""), canvas, num_classes
+        name, cfg.get("Dataset.data_dir", ""), canvas, num_classes,
+        cache_dir=cfg.get("Dataset.cache_dir", None) or None,
     )
     if name == "Synthetic":
         n_l = max(args.num_labels, local_batch)

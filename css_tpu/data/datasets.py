@@ -23,16 +23,28 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
 __all__ = ["VOCSpec", "CityscapesSpec", "SyntheticSpec", "build_dataset_specs"]
 
+# decoded-raw cache file header: [magic, h, w, reserved] int32
+_CACHE_MAGIC = 0x43535243  # "CSRC"
+
 
 @dataclasses.dataclass
 class _CanvasSpec:
     canvas_hw: Tuple[int, int]
+    # Opt-in decoded-raw cache: after the first decode, samples are stored as
+    # header + raw pixel bytes under this directory and subsequent epochs
+    # read them back at page-cache speed, eliminating the PNG/JPEG decode
+    # cost entirely (the working analog of the reference's vestigial
+    # ``Cityscapes_Dataset_cache``, Cityscapes.py:10-38, which re-decoded
+    # every epoch anyway).  Best-effort: any read/validate failure falls
+    # back to decoding (and rewrites the entry).
+    cache_dir: Optional[str] = None
 
     def load(self, sample_id: str):
         """Returns (image_canvas uint8 [H,W,3], label_canvas int32 [H,W],
@@ -49,6 +61,17 @@ class _CanvasSpec:
         batch arrays — the native decoders write scanlines in place, so the
         batch assembly path is copy-free).  ``icanvas`` must be pre-filled 0
         and ``lcanvas`` 255.  Returns valid_hw [2] int32."""
+        if self.cache_dir:
+            hw = self._load_cached_into(sample_id, icanvas, lcanvas)
+            if hw is not None:
+                return hw
+        hw = self._decode_into(sample_id, icanvas, lcanvas)
+        if self.cache_dir:
+            self._store_cache(sample_id, icanvas, lcanvas, hw)
+        return hw
+
+    def _decode_into(self, sample_id: str, icanvas: np.ndarray,
+                     lcanvas: np.ndarray) -> np.ndarray:
         hw = self._load_native_into(sample_id, icanvas, lcanvas)
         if hw is not None:
             return hw
@@ -63,6 +86,53 @@ class _CanvasSpec:
         if lab is not None:
             lcanvas[:h, :w] = lab
         return np.asarray([h, w], np.int32)
+
+    # ---- decoded-raw cache ------------------------------------------------
+
+    def _cache_key(self, sample_id: str) -> str:
+        return sample_id
+
+    def _cache_path(self, sample_id: str) -> str:
+        return os.path.join(self.cache_dir, f"{self._cache_key(sample_id)}.rawc")
+
+    def _load_cached_into(self, sample_id: str, icanvas, lcanvas):
+        """Read a cached sample straight into the canvases; None on any
+        miss/mismatch (caller decodes and rewrites)."""
+        ch, cw = self.canvas_hw
+        try:
+            with open(self._cache_path(sample_id), "rb") as f:
+                head = np.frombuffer(f.read(16), np.int32)
+                if head.size != 4 or int(head[0]) != _CACHE_MAGIC:
+                    return None
+                h, w = int(head[1]), int(head[2])
+                if not (0 < h <= ch and 0 < w <= cw):
+                    return None
+                img = f.read(h * w * 3)
+                lab = f.read(h * w)
+                if len(img) != h * w * 3 or len(lab) != h * w:
+                    return None
+            icanvas[:h, :w] = np.frombuffer(img, np.uint8).reshape(h, w, 3)
+            lcanvas[:h, :w] = np.frombuffer(lab, np.uint8).reshape(h, w)
+            return np.asarray([h, w], np.int32)
+        except OSError:
+            return None
+
+    def _store_cache(self, sample_id: str, icanvas, lcanvas, hw) -> None:
+        h, w = int(hw[0]), int(hw[1])
+        path = self._cache_path(sample_id)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            # unique temp per writer + atomic replace: concurrent decode
+            # workers caching the same sample can never interleave bytes
+            tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "wb") as f:
+                np.asarray([_CACHE_MAGIC, h, w, 0], np.int32).tofile(f)
+                f.write(np.ascontiguousarray(icanvas[:h, :w]).tobytes())
+                # labels are 0..num_class-1 or 255-ignore — u8 round-trips
+                f.write(lcanvas[:h, :w].astype(np.uint8).tobytes())
+            os.replace(tmp, path)
+        except OSError:
+            pass  # cache is best-effort; next epoch just decodes again
 
     def _load_native_into(self, sample_id: str, icanvas, lcanvas):
         """C++ decode into the given canvases when the native runtime is
@@ -122,6 +192,9 @@ class CityscapesSpec(_CanvasSpec):
     root: str = ""
     mode: str = "train"  # train | val
     canvas_hw: Tuple[int, int] = (1024, 2048)
+
+    def _cache_key(self, sample_id: str) -> str:
+        return f"{self.mode}_{sample_id}"
 
     def _paths(self, sample_id: str):
         city = sample_id[: sample_id.find("_")]
@@ -200,17 +273,24 @@ def cityscapes_labelids_to_trainids(mask: np.ndarray) -> np.ndarray:
 
 
 def build_dataset_specs(name: str, data_dir: str, canvas_hw: Tuple[int, int],
-                        num_classes: int = 21):
-    """(train_spec, test_spec) for a dataset name (VOC|CityScapes|Synthetic)."""
+                        num_classes: int = 21, cache_dir: Optional[str] = None):
+    """(train_spec, test_spec) for a dataset name (VOC|CityScapes|Synthetic).
+
+    ``cache_dir`` enables the decoded-raw sample cache (epoch-2+ loads skip
+    image decoding entirely)."""
     if name == "VOC":
-        spec = VOCSpec(root=data_dir, canvas_hw=tuple(canvas_hw))
+        spec = VOCSpec(root=data_dir, canvas_hw=tuple(canvas_hw),
+                       cache_dir=cache_dir)
         return spec, spec
     if name == "CityScapes":
         return (
-            CityscapesSpec(root=data_dir, mode="train", canvas_hw=tuple(canvas_hw)),
-            CityscapesSpec(root=data_dir, mode="val", canvas_hw=tuple(canvas_hw)),
+            CityscapesSpec(root=data_dir, mode="train", canvas_hw=tuple(canvas_hw),
+                           cache_dir=cache_dir),
+            CityscapesSpec(root=data_dir, mode="val", canvas_hw=tuple(canvas_hw),
+                           cache_dir=cache_dir),
         )
     if name == "Synthetic":
-        spec = SyntheticSpec(num_classes=num_classes, canvas_hw=tuple(canvas_hw))
+        spec = SyntheticSpec(num_classes=num_classes, canvas_hw=tuple(canvas_hw),
+                             cache_dir=cache_dir)
         return spec, spec
     raise ValueError(f"unknown dataset {name}")

@@ -280,3 +280,76 @@ def test_native_decode_interlaced_png(tmp_path):
     lcanvas = np.full((32, 32), 255, np.int32)
     assert native_io.decode_png_label_canvas(lab_path, lcanvas) == (21, 13)
     np.testing.assert_array_equal(lcanvas[:21, :13], lab.astype(np.int32))
+
+
+def _mini_voc_tree(tmp_path, sid="s", hw=(40, 30)):
+    from PIL import Image
+
+    os.makedirs(tmp_path / "JPEGImages", exist_ok=True)
+    os.makedirs(tmp_path / "SegmentationClassAug", exist_ok=True)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+    lab = rng.integers(0, 21, size=hw, dtype=np.uint8)
+    lab[0, 0] = 255  # ignore value must round-trip through the cache
+    Image.fromarray(img).save(tmp_path / "JPEGImages" / f"{sid}.jpg", quality=95)
+    Image.fromarray(lab, mode="L").save(
+        tmp_path / "SegmentationClassAug" / f"{sid}.png")
+    return img, lab
+
+
+def test_decoded_cache_roundtrip_and_hit(tmp_path):
+    """Cached reload is byte-identical to the decode, and really does serve
+    from the cache (the source files can disappear)."""
+    _mini_voc_tree(tmp_path)
+    cache = tmp_path / "cache"
+    spec = VOCSpec(root=str(tmp_path), canvas_hw=(64, 64), cache_dir=str(cache))
+
+    i1, l1, hw1 = spec.load("s")          # decode + populate cache
+    assert (cache / "s.rawc").exists()
+    i2, l2, hw2 = spec.load("s")          # cache hit
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(l1, l2)
+    assert hw1.tolist() == hw2.tolist() == [40, 30]
+
+    # delete the sources: the cached entry must be self-sufficient
+    os.remove(tmp_path / "JPEGImages" / "s.jpg")
+    os.remove(tmp_path / "SegmentationClassAug" / "s.png")
+    i3, l3, hw3 = spec.load("s")
+    np.testing.assert_array_equal(i1, i3)
+    np.testing.assert_array_equal(l1, l3)
+    assert hw3.tolist() == [40, 30]
+
+
+def test_decoded_cache_corrupt_falls_back(tmp_path):
+    """Truncated/garbage cache entries are ignored (decode + rewrite)."""
+    img, lab = _mini_voc_tree(tmp_path)
+    cache = tmp_path / "cache"
+    spec = VOCSpec(root=str(tmp_path), canvas_hw=(64, 64), cache_dir=str(cache))
+    ref_i, ref_l, _ = VOCSpec(root=str(tmp_path), canvas_hw=(64, 64)).load("s")
+
+    os.makedirs(cache)
+    for junk in (b"", b"shrt", b"\x00" * 64):
+        with open(cache / "s.rawc", "wb") as f:
+            f.write(junk)
+        i, l, hw = spec.load("s")
+        np.testing.assert_array_equal(i, ref_i)
+        np.testing.assert_array_equal(l, ref_l)
+        assert hw.tolist() == [40, 30]
+        # the bad entry was replaced by a good one
+        assert os.path.getsize(cache / "s.rawc") == 16 + 40 * 30 * 3 + 40 * 30
+
+
+def test_decoded_cache_through_loader(tmp_path):
+    """BatchLoader batches are identical with and without the cache."""
+    for k in range(3):
+        _mini_voc_tree(tmp_path, sid=f"s{k}", hw=(40, 30))
+    ids = [f"s{k}" for k in range(3)]
+    plain = VOCSpec(root=str(tmp_path), canvas_hw=(64, 64))
+    cached = VOCSpec(root=str(tmp_path), canvas_hw=(64, 64),
+                     cache_dir=str(tmp_path / "cache"))
+    kw = dict(batch_size=3, seed=0, shuffle=False, drop_last=False)
+    (b_plain,) = list(BatchLoader(plain, ids, **kw))
+    list(BatchLoader(cached, ids, **kw))      # populate
+    (b_cached,) = list(BatchLoader(cached, ids, **kw))  # serve from cache
+    for key in ("image", "label", "valid_hw", "valid"):
+        np.testing.assert_array_equal(b_plain[key], b_cached[key])
