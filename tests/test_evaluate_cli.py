@@ -70,7 +70,9 @@ def test_predict_cli_writes_masks(tmp_path, monkeypatch):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
     rng = np.random.default_rng(0)
-    for i, (h, w) in enumerate([(30, 28), (25, 32)]):
+    # im2 exceeds the 40x40 canvas: predict.py downscales it for inference
+    # and must resize the label map back to the original resolution
+    for i, (h, w) in enumerate([(30, 28), (25, 32), (64, 50)]):
         arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         Image.fromarray(arr).save(img_dir / f"im{i}.png")
 
@@ -84,6 +86,11 @@ def test_predict_cli_writes_masks(tmp_path, monkeypatch):
     predict.main()
     m0 = np.asarray(Image.open(out_dir / "im0_pred.png"))
     m1 = np.asarray(Image.open(out_dir / "im1_pred.png"))
+    m2 = np.asarray(Image.open(out_dir / "im2_pred.png"))
     assert m0.shape == (30, 28) and m1.shape == (25, 32)
-    assert m0.max() < 6  # class indices within the tiny config's range
+    assert m2.shape == (64, 50)  # downscaled for inference, resized back
+    assert m0.max() < 6 and m2.max() < 6  # class ids within the tiny range
     assert (out_dir / "im0_overlay.png").exists()
+    # the overlay of the oversized image aligns with its original pixels
+    o2 = np.asarray(Image.open(out_dir / "im2_overlay.png"))
+    assert o2.shape == (64, 50, 3)
