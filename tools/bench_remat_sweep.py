@@ -17,6 +17,7 @@ on the real chip:
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,6 +25,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import bench_recipe  # noqa: E402
+
+
+def _enable_compile_cache():
+    # same persistent cache bench.main() uses — without it every 769^2
+    # variant recompiles cold (>10 min each)
+    import jax
+    cache_dir = os.environ.get("CSS_TPU_CACHE", "/tmp/css_tpu_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def parse_variant(spec: str):
@@ -35,6 +48,7 @@ def parse_variant(spec: str):
 
 
 def main():
+    _enable_compile_cache()
     if len(sys.argv) > 1:
         variants = [parse_variant(s) for s in sys.argv[1:]]
     else:
