@@ -465,10 +465,13 @@ def run_training(strategy: str, args) -> dict:
                     save_checkpoint(ckpt_path, state, epoch + 1, miou)
                 # rolling recovery point (crash-resume without losing the
                 # best-model contract; the reference had no recovery story);
-                # throttled — a full-state write is ~1 GB
+                # throttled — a full-state write is ~1 GB.  Stamped with
+                # best_miou (not this epoch's miou) so a crash-resume from
+                # last_model cannot reset the best and let a later mediocre
+                # epoch overwrite best_model.
                 if epoch % 10 == 0 or done or epoch == total_epoch - 1:
                     save_checkpoint(os.path.join(save_dir, "last_model"),
-                                    state, epoch + 1, miou)
+                                    state, epoch + 1, best_miou)
         else:
             log.info(f"Epoch:{epoch} * Time {time.asctime()} {timer.summary()}")
         if done:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import threading
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -76,6 +77,10 @@ class _CanvasSpec:
         if hw is not None:
             return hw
         img, lab = self._decode(sample_id)
+        if lab is not None and lab.ndim == 3:
+            # RGB label maps: trainIds replicated per channel — keep the
+            # first, matching the native decoder (css_io.cpp RGB-label path)
+            lab = lab[..., 0]
         ch, cw = self.canvas_hw
         h, w = img.shape[:2]
         if h > ch or w > cw:
@@ -230,7 +235,9 @@ class SyntheticSpec(_CanvasSpec):
     image_hw: Optional[Tuple[int, int]] = None   # default: ~canvas-sized
 
     def _decode(self, sample_id: str):
-        seed = abs(hash(sample_id)) % (2 ** 31)
+        # crc32, not hash(): str hashing is salted per interpreter, which
+        # would make the "deterministic" data differ across runs/processes
+        seed = zlib.crc32(sample_id.encode()) & 0x7FFFFFFF
         rng = np.random.default_rng(seed)
         if self.image_hw is not None:
             h, w = self.image_hw

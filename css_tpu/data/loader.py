@@ -162,7 +162,8 @@ class InfiniteLoader:
 
     def __next__(self) -> dict:
         while True:
-            if self._it is None:
+            fresh = self._it is None
+            if fresh:
                 self.loader.set_epoch(self.epoch)
                 self._it = iter(self.loader)
             try:
@@ -170,3 +171,12 @@ class InfiniteLoader:
             except StopIteration:
                 self.epoch += 1
                 self._it = None
+                if fresh:
+                    # a freshly created iterator yielded nothing: the split
+                    # shards to fewer ids than one batch (drop_last), so the
+                    # while-loop would spin forever — fail loudly instead
+                    raise RuntimeError(
+                        "InfiniteLoader: the wrapped loader yielded no "
+                        "batches (split smaller than one batch with "
+                        "drop_last?). Lower the batch size or enlarge the "
+                        "split.")

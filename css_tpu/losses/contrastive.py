@@ -63,6 +63,12 @@ def _grouped_random_order(cls_id, member, tie_rng, num_classes):
     single key operand instead of two.
     """
     n = cls_id.shape[0]
+    if num_classes >= 128:
+        # the ignore bucket (num_classes) must fit in 7 bits: 128 << 24
+        # overflows int32 sign and would silently corrupt the sort order
+        raise ValueError(
+            f"num_classes={num_classes} exceeds the packed-key capacity "
+            "(< 128 classes); widen _grouped_random_order's packing first")
     key = jnp.where(member, cls_id, num_classes).astype(jnp.int32)
     tie = jax.random.bits(tie_rng, (n,), dtype=jnp.uint32) >> jnp.uint32(8)
     packed = (key << 24) | tie.astype(jnp.int32)

@@ -65,8 +65,6 @@ def to_channel_last(img_nchw: jax.Array) -> jax.Array:
 
 def normalize_imagenet(img, channel_axis: int = -1):
     """(x - mean)/std; works for NHWC (channel_axis=-1) or CF (=-3)."""
-    shape = [1, 1, 1]
-    shape[channel_axis] = 3 if channel_axis == -3 else 3
     if channel_axis == -1:
         mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
         std = jnp.asarray(IMAGENET_STD, img.dtype)

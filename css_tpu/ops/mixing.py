@@ -61,13 +61,17 @@ def class_half_mask(rng: jax.Array, label: jax.Array, num_classes: int) -> jax.A
     """
     slots = num_classes + 1                                  # slot 0 <- label -1
     shifted = label + 1
-    present = jnp.zeros((slots,), jnp.bool_).at[shifted.reshape(-1)].set(True)
+    # one-hot reduce / matvec instead of a per-pixel traced scatter+gather:
+    # H*W traced-index ops cost tens of ms on TPU, the one-hot forms <1 ms
+    # (CLAUDE.md perf invariant 1)
+    onehot = jax.nn.one_hot(shifted.reshape(-1), slots, dtype=jnp.float32)
+    present = jnp.max(onehot, axis=0) > 0
     n_present = jnp.sum(present.astype(jnp.int32))
     scores = jnp.where(present, jax.random.uniform(rng, (slots,)), jnp.inf)
     order = jnp.argsort(scores)
     rank = jnp.zeros((slots,), jnp.int32).at[order].set(jnp.arange(slots, dtype=jnp.int32))
     selected = present & (rank < n_present // 2)
-    return selected[shifted].astype(jnp.float32)
+    return (onehot @ selected.astype(jnp.float32)).reshape(label.shape)
 
 
 def _broadcast_from_rank0(x: jax.Array, axis_name: str) -> jax.Array:

@@ -60,6 +60,9 @@ int css_decode_jpeg_canvas(const char* path, uint8_t* canvas, int canvas_h,
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
+  // declared before setjmp: longjmp from inside libjpeg must not skip the
+  // destructor (a corrupt file re-read every epoch would leak unboundedly)
+  std::vector<uint8_t> row;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
@@ -78,7 +81,7 @@ int css_decode_jpeg_canvas(const char* path, uint8_t* canvas, int canvas_h,
     fclose(f);
     return 3;
   }
-  std::vector<uint8_t> row(static_cast<size_t>(w) * cinfo.output_components);
+  row.resize(static_cast<size_t>(w) * cinfo.output_components);
   JSAMPROW rowptr = row.data();
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = static_cast<int>(cinfo.output_scanline);
@@ -108,7 +111,20 @@ int css_decode_png_canvas(const char* path, int32_t* canvas, int canvas_h,
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return 7;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return 7;
+  }
+  // declared before setjmp: longjmp from inside libpng must not skip the
+  // destructors (a corrupt file re-read every epoch would leak unboundedly)
+  std::vector<png_byte> buf;
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -128,8 +144,14 @@ int css_decode_png_canvas(const char* path, int32_t* canvas, int canvas_h,
   const png_byte color = png_get_color_type(png, info);
   const png_byte depth = png_get_bit_depth(png, info);
   // normalize label encodings to 8-bit single channel: palette PNGs keep
-  // their palette *indices* (class ids), gray stays gray
-  if (depth == 16) png_set_strip_16(png);
+  // their palette *indices* (class ids), gray stays gray.  16-bit depth is
+  // refused (return 6 -> PIL fallback reads exact int values): strip_16
+  // keeps the HIGH byte, which would map every label id < 256 to 0.
+  if (depth == 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return 6;
+  }
   if (depth < 8) png_set_packing(png);
   if (color == PNG_COLOR_TYPE_GRAY_ALPHA || color == PNG_COLOR_TYPE_RGB_ALPHA)
     png_set_strip_alpha(png);
@@ -144,13 +166,12 @@ int css_decode_png_canvas(const char* path, int32_t* canvas, int canvas_h,
   const int channels = static_cast<int>(png_get_channels(png, info));
 
   const size_t rowbytes = png_get_rowbytes(png, info);
-  std::vector<png_byte> buf;
   if (interlaced) {
     // Adam7 passes touch sparse pixels per row, so streaming png_read_row
     // would decode garbage; read the whole image (png_read_image handles
     // interlace internally), then widen row by row.
     buf.resize(rowbytes * static_cast<size_t>(h));
-    std::vector<png_bytep> rows(static_cast<size_t>(h));
+    rows.resize(static_cast<size_t>(h));
     for (int y = 0; y < h; ++y) rows[y] = buf.data() + rowbytes * y;
     png_read_image(png, rows.data());
   } else {
@@ -189,7 +210,19 @@ int css_decode_png_rgb_canvas(const char* path, uint8_t* canvas, int canvas_h,
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return 7;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return 7;
+  }
+  // declared before setjmp: longjmp must not skip the destructors (leak)
+  std::vector<png_byte> buf;
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -208,6 +241,8 @@ int css_decode_png_rgb_canvas(const char* path, uint8_t* canvas, int canvas_h,
   }
   const png_byte color = png_get_color_type(png, info);
   const png_byte depth = png_get_bit_depth(png, info);
+  // (16-bit is fine here: images are intensity data, the stripped high
+  // byte is the standard 8-bit approximation, matching PIL's convert)
   if (depth == 16) png_set_strip_16(png);
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
@@ -228,15 +263,15 @@ int css_decode_png_rgb_canvas(const char* path, uint8_t* canvas, int canvas_h,
   if (w == canvas_w) {
     // canvas rows are contiguous with image rows: single sequential pass
     // (png_read_image also runs the Adam7 passes itself when interlaced)
-    std::vector<png_bytep> rows(static_cast<size_t>(h));
+    rows.resize(static_cast<size_t>(h));
     for (int y = 0; y < h; ++y)
       rows[y] = canvas + static_cast<size_t>(y) * canvas_w * 3;
     png_read_image(png, rows.data());
   } else if (interlaced) {
     // streaming rows would interleave Adam7 passes into garbage; decode the
     // whole image into a packed temp, then place rows at the canvas pitch
-    std::vector<png_byte> buf(static_cast<size_t>(h) * w * 3);
-    std::vector<png_bytep> rows(static_cast<size_t>(h));
+    buf.resize(static_cast<size_t>(h) * w * 3);
+    rows.resize(static_cast<size_t>(h));
     for (int y = 0; y < h; ++y) rows[y] = buf.data() + static_cast<size_t>(y) * w * 3;
     png_read_image(png, rows.data());
     for (int y = 0; y < h; ++y)

@@ -251,3 +251,21 @@ def test_sampled_pallas_mode_law_and_determinism():
     g = jax.grad(loss_fn)(jnp.asarray(rep))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_grouped_order_rejects_overpacked_classes():
+    """num_classes >= 128 would overflow the int32 packed sort key (ignore
+    bucket << 24 flips the sign) and silently corrupt class grouping — the
+    boundary must fail loudly instead."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from css_tpu.losses.contrastive import _grouped_random_order
+
+    cls_id = jnp.zeros((16,), jnp.int32)
+    member = jnp.ones((16,), bool)
+    with pytest.raises(ValueError, match="packed-key"):
+        _grouped_random_order(cls_id, member, jax.random.key(0), 128)
+    # 127 still fits: 127 << 24 is a valid positive int32
+    _grouped_random_order(cls_id, member, jax.random.key(0), 127)

@@ -353,3 +353,116 @@ def test_decoded_cache_through_loader(tmp_path):
     (b_cached,) = list(BatchLoader(cached, ids, **kw))  # serve from cache
     for key in ("image", "label", "valid_hw", "valid"):
         np.testing.assert_array_equal(b_plain[key], b_cached[key])
+
+
+def test_infinite_loader_empty_split_raises():
+    """A split that shards to zero batches must fail loudly, not busy-spin
+    forever (the pre-fix behavior was an infinite while-loop in __next__)."""
+    spec = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))
+    loader = BatchLoader(spec, ["a", "b"], batch_size=3, seed=0, shuffle=True,
+                         drop_last=True)
+    assert len(loader) == 0
+    it = InfiniteLoader(loader)
+    with pytest.raises(RuntimeError, match="no batches"):
+        next(it)
+
+
+def test_synthetic_decode_stable_across_interpreters():
+    """SyntheticSpec must derive its per-sample seed from a deterministic
+    hash: Python's str hash() is salted per interpreter, which silently made
+    'deterministic' synthetic data differ between runs/processes."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np\n"
+        "from css_tpu.data.datasets import SyntheticSpec\n"
+        "img, lab = SyntheticSpec(num_classes=5, canvas_hw=(16, 16))._decode('s3')\n"
+        "print(int(img.astype(np.int64).sum()), int(lab.astype(np.int64).sum()))\n"
+    )
+    outs = []
+    for hash_seed in ("0", "1"):
+        env = dict(os.environ, PYTHONHASHSEED=hash_seed)
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr
+        outs.append(out.stdout.strip())
+    assert outs[0] == outs[1]
+
+
+def test_pil_fallback_rgb_label_png(tmp_path, monkeypatch):
+    """RGB label PNGs (trainIds replicated per channel) must decode through
+    the PIL fallback too, not just the native path (first channel kept)."""
+    from PIL import Image
+
+    from css_tpu.data import native_io
+
+    os.makedirs(tmp_path / "JPEGImages")
+    os.makedirs(tmp_path / "SegmentationClassAug")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(20, 24, 3), dtype=np.uint8)
+    lab = rng.integers(0, 21, size=(20, 24), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "JPEGImages" / "s.jpg", quality=95)
+    Image.fromarray(np.stack([lab] * 3, -1)).save(
+        tmp_path / "SegmentationClassAug" / "s.png")
+
+    monkeypatch.setattr(native_io, "native_available", lambda: False)
+    spec = VOCSpec(root=str(tmp_path), canvas_hw=(32, 32))
+    _, lcanvas, vhw = spec.load("s")
+    assert vhw.tolist() == [20, 24]
+    np.testing.assert_array_equal(lcanvas[:20, :24], lab)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native",
+                                    "libcss_io.so")),
+    reason="native runtime not built",
+)
+def test_16bit_label_png_decodes_exact(tmp_path):
+    """16-bit grayscale label PNGs: the native decoder must refuse them
+    (libpng strip_16 keeps the HIGH byte -> every id < 256 becomes 0) so the
+    PIL fallback reads the exact integer values."""
+    from PIL import Image
+
+    from css_tpu.data import native_io
+
+    os.makedirs(tmp_path / "JPEGImages")
+    os.makedirs(tmp_path / "SegmentationClassAug")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    lab = rng.integers(0, 21, size=(12, 10)).astype(np.uint16)
+    Image.fromarray(img).save(tmp_path / "JPEGImages" / "s.jpg", quality=95)
+    Image.fromarray(lab).save(tmp_path / "SegmentationClassAug" / "s.png")
+
+    # native label decode must report failure, not return zeros
+    lcanvas = np.full((16, 16), 255, np.int32)
+    assert native_io.decode_png_label_canvas(
+        str(tmp_path / "SegmentationClassAug" / "s.png"), lcanvas) is None
+
+    spec = VOCSpec(root=str(tmp_path), canvas_hw=(16, 16))
+    _, lcanvas, vhw = spec.load("s")
+    assert vhw.tolist() == [12, 10]
+    np.testing.assert_array_equal(lcanvas[:12, :10], lab.astype(np.int32))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native",
+                                    "libcss_io.so")),
+    reason="native runtime not built",
+)
+def test_native_corrupt_files_return_none(tmp_path):
+    """Corrupt/truncated files must come back as decode failures (the error
+    longjmp path), never crash or hang."""
+    from css_tpu.data import native_io
+
+    png = tmp_path / "bad.png"
+    png.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    jpg = tmp_path / "bad.jpg"
+    jpg.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+    lcanvas = np.full((8, 8), 255, np.int32)
+    icanvas = np.zeros((8, 8, 3), np.uint8)
+    for _ in range(3):  # repeat: the error path must stay reusable
+        assert native_io.decode_png_label_canvas(str(png), lcanvas) is None
+        assert native_io.decode_png_rgb_canvas(str(png), icanvas) is None
+        assert native_io.decode_jpeg_canvas(str(jpg), icanvas) is None

@@ -259,3 +259,34 @@ def test_retry_once_surfaces_original_error_when_buffers_donated():
     with pytest.raises(RuntimeError, match="donated input buffers.*hardware blip"):
         _retry_once(donated, _Log(), "train step")
     assert calls["n"] == 2
+
+
+def test_rolling_checkpoint_stamps_best_miou(tmp_path, monkeypatch):
+    """The rolling last_model recovery checkpoint must carry best_miou, not
+    the current epoch's miou: a crash-resume from last_model would otherwise
+    reset the best and let a later mediocre epoch overwrite best_model."""
+    import types
+
+    from css_tpu.cli import train_main
+
+    mious = iter([0.75, 0.50])
+    monkeypatch.setattr(
+        train_main, "_evaluate",
+        lambda *a, **k: types.SimpleNamespace(miou=next(mious)))
+    saves = []
+    monkeypatch.setattr(
+        train_main, "save_checkpoint",
+        lambda path, state, epoch, miou: saves.append(
+            (os.path.basename(path), epoch, miou)))
+
+    cfgp = _tiny_yaml(tmp_path)  # Training_Setting.epoch == 2
+    train_main.run_training(
+        "ori", _args(cfgp, tmp_path, "rollbest", max_steps=None))
+
+    best = [s for s in saves if s[0] == "best_model"]
+    last = [s for s in saves if s[0] == "last_model"]
+    assert best and best[-1][2] == 0.75        # epoch-0 best recorded
+    assert last, "rolling recovery checkpoint never saved"
+    # every rolling save carries the historical best, incl. the final one
+    # written after the 0.50 epoch
+    assert all(m == 0.75 for _, _, m in last)
