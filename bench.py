@@ -50,7 +50,7 @@ EXTRA_BUDGET_S = float(os.environ.get("CSS_BENCH_BUDGET_S", "2400"))
 
 
 def bench_recipe(*, backbone, crop, batch, sup_loss, negative_mode, remat,
-                 num_classes=21):
+                 num_classes=21, remat_policy="nothing"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -61,7 +61,8 @@ def bench_recipe(*, backbone, crop, batch, sup_loss, negative_mode, remat,
 
     dev = jax.devices()[0]
     model = build_model(num_classes=num_classes, output_dim=256,
-                        backbone=backbone, dtype=jnp.bfloat16, remat=remat)
+                        backbone=backbone, dtype=jnp.bfloat16, remat=remat,
+                        remat_policy=remat_policy)
     tx = make_optimizer(base_lr=6.4e-3, weight_decay=5e-4, total_steps=80000)
     state = create_train_state(
         jax.random.key(0), model, tx, (1, crop, crop, 3),

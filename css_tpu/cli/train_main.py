@@ -100,6 +100,9 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
                else ((r,) if isinstance(r, int) and not isinstance(r, bool)
                      else bool(r)))(
             cfg.get("Network.remat", cfg.get("Dataset.name") == "CityScapes")),
+        # what remat'd blocks keep: "nothing" (minimum memory) or "save_mid"
+        # (keep conv2 outputs; backward recomputes only the 1x1 conv1 chain)
+        remat_policy=cfg.get("Network.remat_policy", "nothing"),
     )
     tx = make_optimizer(
         base_lr=float(cfg.require("Optim.lr")),

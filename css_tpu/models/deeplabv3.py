@@ -134,6 +134,7 @@ def build_model(
     dtype: Any = jnp.float32,
     axis_name: Optional[str] = None,
     remat: bool = False,
+    remat_policy: str = "nothing",
 ) -> DeepLabV3PlusDual:
     """Build the student/teacher network.
 
@@ -141,9 +142,11 @@ def build_model(
     or ``resnet101_stem`` (deep stem, Cityscapes option — ori_pseudo.py:71-72).
     """
     if backbone == "resnet101":
-        trunk = resnet101(output_stride, dtype=dtype, axis_name=axis_name, remat=remat)
+        trunk = resnet101(output_stride, dtype=dtype, axis_name=axis_name,
+                          remat=remat, remat_policy=remat_policy)
     elif backbone == "resnet101_stem":
-        trunk = resnet101_stem(output_stride, dtype=dtype, axis_name=axis_name, remat=remat)
+        trunk = resnet101_stem(output_stride, dtype=dtype, axis_name=axis_name,
+                               remat=remat, remat_policy=remat_policy)
     elif backbone == "tiny":
         trunk = resnet_tiny(output_stride, dtype=dtype, axis_name=axis_name)
     else:

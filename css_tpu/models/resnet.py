@@ -31,6 +31,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["ResNetBackbone", "resnet101", "resnet101_stem", "StageSpec"]
 
@@ -253,6 +254,7 @@ class Bottleneck(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    tag_mid: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, groups: int = 1):
@@ -260,6 +262,11 @@ class Bottleneck(nn.Module):
         identity = x
         out = ConvBN(self.planes, 1, 1, 1, relu=True, name="conv1", **kw)(x, train, groups)
         out = ConvBN(self.planes, 3, self.stride, self.dilation, relu=True, name="conv2", **kw)(out, train, groups)
+        if self.tag_mid:
+            # consumed by ResNetBackbone.remat_policy="save_mid"'s
+            # save_only_these_names policy; gated so the default program
+            # (and its persistent compile cache) is byte-identical
+            out = checkpoint_name(out, "bneck_mid")
         out = ConvBN(
             self.planes * 4, 1, 1, 1, relu=False,
             zero_init_scale=self.zero_init_residual, name="conv3", **kw,
@@ -315,6 +322,13 @@ class ResNetBackbone(nn.Module):
     # remats layer3 alone — a FLOPs-for-HBM-traffic trade for the
     # bandwidth-bound 512^2 step, docs/perf_round3.md)
     remat: Any = False
+    # what remat'd blocks may KEEP: "nothing" recomputes the whole block in
+    # backward (minimum memory); "save_mid" keeps each block's conv2 output
+    # (the [.., planes] mid tensor, 1/4 the block-output width) so backward
+    # only recomputes the cheap 1x1 conv1 chain instead of all three convs
+    # (conv2 is ~53% and conv1 ~21% of block MACs) — a middle point between
+    # full remat and none for memory-constrained crops
+    remat_policy: str = "nothing"
 
     @property
     def output_stride(self) -> int:
@@ -331,8 +345,15 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        if self.remat_policy == "nothing":
+            policy = jax.checkpoint_policies.nothing_saveable
+        elif self.remat_policy == "save_mid":
+            policy = jax.checkpoint_policies.save_only_these_names("bneck_mid")
+        else:
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r} "
+                             "(expected 'nothing' or 'save_mid')")
         remat_block = nn.remat(Bottleneck, static_argnums=(2, 3),
-                               policy=jax.checkpoint_policies.nothing_saveable)
+                               policy=policy)
 
         def stage_block_cls(si):
             if isinstance(self.remat, (tuple, list)):
@@ -360,6 +381,10 @@ class ResNetBackbone(nn.Module):
                     dilation=spec.first_dilation if first else spec.rest_dilation,
                     has_downsample=first and (spec.stride != 1 or in_planes != spec.planes * 4),
                     zero_init_residual=self.zero_init_residual,
+                    # tag conv2 outputs only where the save_mid policy will
+                    # consume them (keeps the default program byte-identical)
+                    tag_mid=(block_cls is remat_block
+                             and self.remat_policy == "save_mid"),
                     name=f"layer{si + 1}_{bi}",
                     **kw,
                 )(x, train, groups)
@@ -408,7 +433,8 @@ def _stage_specs(layers: Sequence[int], output_stride: int, multi_grid: bool) ->
 
 
 def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
-              axis_name: Optional[str] = None, remat: bool = False) -> ResNetBackbone:
+              axis_name: Optional[str] = None, remat: bool = False,
+              remat_policy: str = "nothing") -> ResNetBackbone:
     """Plain-stem ResNet-101 trunk (torchvision weight-compatible)."""
     return ResNetBackbone(
         stages=_stage_specs([3, 4, 23, 3], output_stride, multi_grid=False),
@@ -417,6 +443,7 @@ def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
         dtype=dtype,
         axis_name=axis_name,
         remat=remat,
+        remat_policy=remat_policy,
     )
 
 
@@ -439,7 +466,8 @@ def resnet_tiny(output_stride: int = 8, dtype: Any = jnp.float32,
 
 
 def resnet101_stem(output_stride: int = 8, dtype: Any = jnp.float32,
-                   axis_name: Optional[str] = None, remat: bool = False) -> ResNetBackbone:
+                   axis_name: Optional[str] = None, remat: bool = False,
+                   remat_policy: str = "nothing") -> ResNetBackbone:
     """Deep-stem multi-grid ResNet-101 trunk (reference ResNet_Stem)."""
     return ResNetBackbone(
         stages=_stage_specs([3, 4, 23, 3], output_stride, multi_grid=True),
@@ -448,4 +476,5 @@ def resnet101_stem(output_stride: int = 8, dtype: Any = jnp.float32,
         dtype=dtype,
         axis_name=axis_name,
         remat=remat,
+        remat_policy=remat_policy,
     )

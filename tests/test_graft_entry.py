@@ -34,7 +34,9 @@ def _run(code: str, env_extra=None):
 def test_dryrun_multichip_standalone():
     r = _run("import __graft_entry__ as g; g.dryrun_multichip(8)")
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "dryrun_multichip(8): ok" in r.stdout
+    # one line per strategy/partner variant + the sharded-eval check
+    assert "dryrun_multichip(8): ori/reference ok" in r.stdout
+    assert "dryrun_multichip(8): sharded eval matrix ok" in r.stdout
 
 
 @pytest.mark.slow
@@ -50,7 +52,9 @@ def test_dryrun_multichip_after_backend_init():
         "assert len(jax.devices()) == 4\n"
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "dryrun_multichip(4): ok" in r.stdout
+    # one line per strategy/partner variant + the sharded-eval check
+    assert "dryrun_multichip(4): ori/reference ok" in r.stdout
+    assert "dryrun_multichip(4): sharded eval matrix ok" in r.stdout
 
 
 @pytest.mark.slow
@@ -64,4 +68,6 @@ def test_dryrun_multichip_with_driver_env():
         },
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "dryrun_multichip(2): ok" in r.stdout
+    # one line per strategy/partner variant + the sharded-eval check
+    assert "dryrun_multichip(2): ori/reference ok" in r.stdout
+    assert "dryrun_multichip(2): sharded eval matrix ok" in r.stdout

@@ -259,8 +259,9 @@ def test_per_stage_remat_is_semantics_preserving():
     x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3), np.float32))
 
     outs, grads = [], []
-    for remat in (False, (2,), True):
-        net = ResNetBackbone(stages=stages, remat=remat)
+    for remat, policy in ((False, "nothing"), ((2,), "nothing"),
+                          (True, "nothing"), (True, "save_mid")):
+        net = ResNetBackbone(stages=stages, remat=remat, remat_policy=policy)
         variables = net.init(jax.random.key(0), x, train=False)
 
         def loss(params):
@@ -272,7 +273,7 @@ def test_per_stage_remat_is_semantics_preserving():
         outs.append(float(loss(variables["params"])))
         grads.append(jax.grad(loss)(variables["params"]))
 
-    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
     # recompute can reassociate float reductions — tight but not bit-exact
     for other in grads[1:]:
         jax.tree.map(
