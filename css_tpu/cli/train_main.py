@@ -45,6 +45,7 @@ from css_tpu.train.state import create_train_state, make_optimizer
 from css_tpu.train.train_step import StepConfig, make_eval_step, make_train_step
 from css_tpu.utils import ConfusionMatrix, Logger
 from css_tpu.utils.logging import ScalarWriter
+from css_tpu.utils.preempt import PreemptionGuard, apply_platform_override
 from css_tpu.utils.profiling import StepTimer, maybe_profile
 
 __all__ = ["run_training", "add_common_args"]
@@ -322,6 +323,7 @@ def _enable_compilation_cache():
 
 
 def run_training(strategy: str, args) -> dict:
+    apply_platform_override()
     _enable_compilation_cache()
     cfg = load_config(args.config)
     _apply_cli_shadows(cfg, args, strategy)
@@ -397,6 +399,12 @@ def run_training(strategy: str, args) -> dict:
     # run-constant base key: the step derives its stream from state.step
     step_rng = jax.random.key(seed + 1)
     done = False
+    # SIGTERM (scheduler preemption / TPU maintenance) -> write the rolling
+    # recovery checkpoint and return cleanly instead of dying mid-step
+    guard = PreemptionGuard(
+        check_every=cfg.get("Training_Setting.preempt_check_every", 10)
+    ).install()
+    preempted = False
     metrics = None  # set by the first train step; guarded at eval time
     for epoch in range(start_epoch, total_epoch):
         train_l.set_epoch(epoch)
@@ -418,7 +426,8 @@ def run_training(strategy: str, args) -> dict:
                 }
 
         with maybe_profile(args.profile_dir, epoch == start_epoch):
-            for sbatch in _device_prefetch(_epoch_batches(), mesh):
+            for si, sbatch in enumerate(_device_prefetch(_epoch_batches(),
+                                                         mesh)):
                 state, metrics = _retry_once(
                     lambda: train_step(state, sbatch, step_rng,
                                        jnp.float32(weight),
@@ -429,6 +438,21 @@ def run_training(strategy: str, args) -> dict:
                 if args.max_steps and int(state.step) >= args.max_steps:
                     done = True
                     break
+                if guard.should_stop(si):
+                    preempted = done = True
+                    break
+
+        if preempted:
+            # grace windows are short: skip eval, write the recovery point,
+            # leave.  Saved with this epoch (not epoch+1) so --resume replays
+            # the partially-consumed epoch.
+            step_now = int(jax.device_get(state.step))
+            log.info(f"SIGTERM: preemption checkpoint at epoch {epoch} "
+                     f"step {step_now}; exiting cleanly")
+            if jax.process_index() == 0:
+                save_checkpoint(os.path.join(save_dir, "last_model"),
+                                state, epoch, best_miou)
+            break
 
         eval_now = (
             strategy == "ori"
@@ -480,4 +504,6 @@ def run_training(strategy: str, args) -> dict:
         if done:
             break
 
-    return {"best_miou": best_miou, "steps": int(jax.device_get(state.step))}
+    guard.uninstall()
+    return {"best_miou": best_miou, "steps": int(jax.device_get(state.step)),
+            "preempted": preempted}

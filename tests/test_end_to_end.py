@@ -290,3 +290,85 @@ def test_rolling_checkpoint_stamps_best_miou(tmp_path, monkeypatch):
     # every rolling save carries the historical best, incl. the final one
     # written after the 0.50 epoch
     assert all(m == 0.75 for _, _, m in last)
+
+
+def test_preemption_guard_unit():
+    """SIGTERM sets the flag; should_stop reports it; uninstall restores."""
+    import signal
+
+    from css_tpu.utils.preempt import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    g = PreemptionGuard().install()
+    try:
+        assert not g.should_stop(0)
+        os.kill(os.getpid(), signal.SIGTERM)  # handled, not fatal
+        assert g.should_stop(0)
+    finally:
+        g.uninstall()
+    assert signal.getsignal(signal.SIGTERM) == prev
+
+
+@pytest.mark.slow
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """The real CLI, preempted mid-run, exits 0 with a recovery checkpoint
+    that --resume continues from (the reference dies mid-step instead)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfgp = _tiny_yaml(tmp_path)
+    job_dir = tmp_path / "ckpt" / "preemptjob"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "ori_pseudo.py"),
+         "--config", cfgp, "--synthetic", "--num_labels", "8",
+         "--total_iter", "4000", "--job_name", "preemptjob"],
+        # JAX_PLATFORMS is a no-op here (the dev box sitecustomize
+        # pre-selects a TPU backend); CSS_TPU_PLATFORM flips the
+        # already-imported config inside run_training
+        cwd=repo, env={**os.environ, "CSS_TPU_PLATFORM": "cpu"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # wait for the loop to be underway (first epoch line = first steps +
+        # eval done), then preempt
+        log = job_dir / "train.log"
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if log.exists() and "Epoch:0" in log.read_text():
+                break
+            time.sleep(2)
+            assert proc.poll() is None, proc.stdout.read()[-2000:]
+        else:
+            proc.kill()
+            pytest.fail("driver never reached its first epoch")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    assert proc.returncode == 0, out[-2000:]
+    assert "'preempted': True" in out
+    assert "SIGTERM: preemption checkpoint" in log.read_text()
+    last = job_dir / "last_model"
+    assert last.exists()
+
+    # resume from the preemption point and finish a couple more steps
+    from css_tpu.cli.train_main import run_training
+
+    # the preemption step is whenever the signal landed; parse it so the
+    # resumed run can be checked for real progress beyond it
+    import re
+
+    m = re.search(r"preemption checkpoint at epoch (\d+) step (\d+)",
+                  log.read_text())
+    assert m, log.read_text()
+    pre_step = int(m.group(2))
+    r = run_training("ori", _args(cfgp, tmp_path, "preemptjob_resume",
+                                  resume=str(last), max_steps=None,
+                                  total_iter=16))
+    assert r["steps"] > pre_step
+    assert not r["preempted"]

@@ -26,7 +26,10 @@ def _run(code: str, env_extra=None):
     env.update(env_extra or {})
     return subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=420,
+        # the round-3 dryrun sweeps 7 strategy/partner variants plus the
+        # sharded-eval check (~6 min of CPU compiles on an idle box,
+        # more under load)
+        capture_output=True, text=True, timeout=1200,
     )
 
 
