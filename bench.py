@@ -50,7 +50,8 @@ EXTRA_BUDGET_S = float(os.environ.get("CSS_BENCH_BUDGET_S", "2400"))
 
 
 def bench_recipe(*, backbone, crop, batch, sup_loss, negative_mode, remat,
-                 num_classes=21, remat_policy="nothing"):
+                 num_classes=21, remat_policy="nothing", steps=STEPS,
+                 warmup=WARMUP):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,18 +92,18 @@ def bench_recipe(*, backbone, crop, batch, sup_loss, negative_mode, remat,
     key = jax.random.key(1)
     w = jnp.float32(1.0)
     flag = jnp.asarray(False)
-    for i in range(WARMUP):
+    for i in range(warmup):
         state, metrics = step(state, batch_d, key, w, flag)
     # device_get forces real completion (block_until_ready alone can return
     # early under the remote-TPU platform used for development)
     jax.device_get(metrics["total"])
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for i in range(steps):
         state, metrics = step(state, batch_d, key, w, flag)
     jax.device_get(metrics["total"])
     dt = time.perf_counter() - t0
-    return 2 * batch * STEPS / dt
+    return 2 * batch * steps / dt
 
 
 def main():

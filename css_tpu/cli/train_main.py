@@ -406,104 +406,109 @@ def run_training(strategy: str, args) -> dict:
     ).install()
     preempted = False
     metrics = None  # set by the first train step; guarded at eval time
-    for epoch in range(start_epoch, total_epoch):
-        train_l.set_epoch(epoch)
-        if strategy == "ori":
-            weight = 1.0
-        else:
-            weight = ramp(epoch) if args.sche else 1.0
-        use_rep = bool(strategy == "cross" and epoch >= warmup)
+    try:
+        for epoch in range(start_epoch, total_epoch):
+            train_l.set_epoch(epoch)
+            if strategy == "ori":
+                weight = 1.0
+            else:
+                weight = ramp(epoch) if args.sche else 1.0
+            use_rep = bool(strategy == "cross" and epoch >= warmup)
 
-        def _epoch_batches():
-            for batch_l in train_l:
-                batch_u = next(u_iter)
-                yield {
-                    "l_image": batch_l["image"],
-                    "l_label": batch_l["label"],
-                    "l_valid_hw": batch_l["valid_hw"],
-                    "u_image": batch_u["image"],
-                    "u_valid_hw": batch_u["valid_hw"],
-                }
+            def _epoch_batches():
+                for batch_l in train_l:
+                    batch_u = next(u_iter)
+                    yield {
+                        "l_image": batch_l["image"],
+                        "l_label": batch_l["label"],
+                        "l_valid_hw": batch_l["valid_hw"],
+                        "u_image": batch_u["image"],
+                        "u_valid_hw": batch_u["valid_hw"],
+                    }
 
-        with maybe_profile(args.profile_dir, epoch == start_epoch):
-            for si, sbatch in enumerate(_device_prefetch(_epoch_batches(),
-                                                         mesh)):
-                state, metrics = _retry_once(
-                    lambda: train_step(state, sbatch, step_rng,
-                                       jnp.float32(weight),
-                                       jnp.asarray(use_rep)),
-                    log, "train step",
-                )
-                timer.tick()
-                if args.max_steps and int(state.step) >= args.max_steps:
-                    done = True
-                    break
-                if guard.should_stop(si):
-                    preempted = done = True
-                    break
+            with maybe_profile(args.profile_dir, epoch == start_epoch):
+                for si, sbatch in enumerate(_device_prefetch(_epoch_batches(),
+                                                             mesh)):
+                    state, metrics = _retry_once(
+                        lambda: train_step(state, sbatch, step_rng,
+                                           jnp.float32(weight),
+                                           jnp.asarray(use_rep)),
+                        log, "train step",
+                    )
+                    timer.tick()
+                    if args.max_steps and int(state.step) >= args.max_steps:
+                        done = True
+                        break
+                    if guard.should_stop(si):
+                        preempted = done = True
+                        break
 
-        if preempted:
-            # grace windows are short: skip eval, write the recovery point,
-            # leave.  Saved with this epoch (not epoch+1) so --resume replays
-            # the partially-consumed epoch.
-            step_now = int(jax.device_get(state.step))
-            log.info(f"SIGTERM: preemption checkpoint at epoch {epoch} "
-                     f"step {step_now}; exiting cleanly")
-            if jax.process_index() == 0:
-                save_checkpoint(os.path.join(save_dir, "last_model"),
-                                state, epoch, best_miou)
-            break
-
-        eval_now = (
-            strategy == "ori"
-            or epoch % 20 == 0
-            or epoch > total_epoch - 50
-            or done
-            or epoch == total_epoch - 1
-        )
-        if eval_now:
-            rng, erng = jax.random.split(rng)
-            try:
-                miou = _evaluate(eval_step, state, test_loader, crop,
-                                 step_cfg.num_classes, erng, mesh).miou
-            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
-                # transient runtime/compile failures must not kill a long
-                # training run; skip this eval and keep training
-                log.info(f"WARNING eval failed ({type(e).__name__}: {e}); "
-                         "skipping this evaluation")
-                miou = -1.0
-            best_miou = max(best_miou, miou) if miou >= 0 else best_miou
-            zero = jnp.float32(0.0)
-            m = jax.device_get(metrics) if metrics is not None else {
-                "total": zero, "sup": zero, "unsup": zero, "contrast": zero}
-            tb.scalars(int(jax.device_get(state.step)), {
-                "eval/miou": miou, "loss/total": float(m["total"]),
-                "loss/sup": float(m["sup"]), "loss/unsup": float(m["unsup"]),
-                "loss/contrast": float(m["contrast"]),
-            })
-            log.info(
-                f"Epoch:{epoch} * mIoU {miou:.4f} Best_mIoU {best_miou:.4f} "
-                f"loss {float(m['total']):.4f} (sup {float(m['sup']):.4f} "
-                f"unsup {float(m['unsup']):.4f} contrast {float(m['contrast']):.4f}) "
-                f"{timer.summary()} Time {time.asctime()}"
-            )
-            if jax.process_index() == 0:
-                if miou >= best_miou:
-                    save_checkpoint(ckpt_path, state, epoch + 1, miou)
-                # rolling recovery point (crash-resume without losing the
-                # best-model contract; the reference had no recovery story);
-                # throttled — a full-state write is ~1 GB.  Stamped with
-                # best_miou (not this epoch's miou) so a crash-resume from
-                # last_model cannot reset the best and let a later mediocre
-                # epoch overwrite best_model.
-                if epoch % 10 == 0 or done or epoch == total_epoch - 1:
+            if preempted:
+                # grace windows are short: skip eval, write the recovery point,
+                # leave.  Saved with this epoch (not epoch+1) so --resume replays
+                # the partially-consumed epoch.
+                step_now = int(jax.device_get(state.step))
+                log.info(f"SIGTERM: preemption checkpoint at epoch {epoch} "
+                         f"step {step_now}; exiting cleanly")
+                if jax.process_index() == 0:
                     save_checkpoint(os.path.join(save_dir, "last_model"),
-                                    state, epoch + 1, best_miou)
-        else:
-            log.info(f"Epoch:{epoch} * Time {time.asctime()} {timer.summary()}")
-        if done:
-            break
+                                    state, epoch, best_miou)
+                break
 
-    guard.uninstall()
+            eval_now = (
+                strategy == "ori"
+                or epoch % 20 == 0
+                or epoch > total_epoch - 50
+                or done
+                or epoch == total_epoch - 1
+            )
+            if eval_now:
+                rng, erng = jax.random.split(rng)
+                try:
+                    miou = _evaluate(eval_step, state, test_loader, crop,
+                                     step_cfg.num_classes, erng, mesh).miou
+                except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                    # transient runtime/compile failures must not kill a long
+                    # training run; skip this eval and keep training
+                    log.info(f"WARNING eval failed ({type(e).__name__}: {e}); "
+                             "skipping this evaluation")
+                    miou = -1.0
+                best_miou = max(best_miou, miou) if miou >= 0 else best_miou
+                zero = jnp.float32(0.0)
+                m = jax.device_get(metrics) if metrics is not None else {
+                    "total": zero, "sup": zero, "unsup": zero, "contrast": zero}
+                tb.scalars(int(jax.device_get(state.step)), {
+                    "eval/miou": miou, "loss/total": float(m["total"]),
+                    "loss/sup": float(m["sup"]), "loss/unsup": float(m["unsup"]),
+                    "loss/contrast": float(m["contrast"]),
+                })
+                log.info(
+                    f"Epoch:{epoch} * mIoU {miou:.4f} Best_mIoU {best_miou:.4f} "
+                    f"loss {float(m['total']):.4f} (sup {float(m['sup']):.4f} "
+                    f"unsup {float(m['unsup']):.4f} contrast {float(m['contrast']):.4f}) "
+                    f"{timer.summary()} Time {time.asctime()}"
+                )
+                if jax.process_index() == 0:
+                    if miou >= best_miou:
+                        save_checkpoint(ckpt_path, state, epoch + 1, miou)
+                    # rolling recovery point (crash-resume without losing the
+                    # best-model contract; the reference had no recovery story);
+                    # throttled — a full-state write is ~1 GB.  Stamped with
+                    # best_miou (not this epoch's miou) so a crash-resume from
+                    # last_model cannot reset the best and let a later mediocre
+                    # epoch overwrite best_model.
+                    if epoch % 10 == 0 or done or epoch == total_epoch - 1:
+                        save_checkpoint(os.path.join(save_dir, "last_model"),
+                                        state, epoch + 1, best_miou)
+            else:
+                log.info(f"Epoch:{epoch} * Time {time.asctime()} {timer.summary()}")
+            if done:
+                break
+
+    finally:
+        # an exception mid-epoch must not leave the SIGTERM handler
+        # pointing at an orphaned guard (the signal would then be
+        # swallowed in the exact scenario this feature exists for)
+        guard.uninstall()
     return {"best_miou": best_miou, "steps": int(jax.device_get(state.step)),
             "preempted": preempted}

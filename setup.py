@@ -33,9 +33,13 @@ def _try_build_native(out_dir: str) -> bool:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
     except (OSError, subprocess.CalledProcessError) as e:
+        detail = getattr(e, "stderr", b"") or b""
+        if isinstance(detail, bytes):
+            detail = detail.decode(errors="replace")
         sys.stderr.write(
             f"css-tpu: native decode runtime not built ({e}); "
-            "the PIL fallback will be used.\n")
+            "the PIL fallback will be used.\n"
+            + (f"compiler output:\n{detail}\n" if detail.strip() else ""))
         return False
 
 

@@ -367,8 +367,11 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
                   log.read_text())
     assert m, log.read_text()
     pre_step = int(m.group(2))
+    # resume must make progress past the preemption point regardless of
+    # which epoch the signal landed in: cap by steps, not epochs
     r = run_training("ori", _args(cfgp, tmp_path, "preemptjob_resume",
-                                  resume=str(last), max_steps=None,
-                                  total_iter=16))
+                                  resume=str(last),
+                                  max_steps=pre_step + 4,
+                                  total_iter=4000))
     assert r["steps"] > pre_step
     assert not r["preempted"]

@@ -30,12 +30,19 @@ def test_console_scripts_resolve():
         assert callable(getattr(mod, func_name)), f"{name} -> {target}"
 
 
-def test_py_modules_cover_root_shims():
-    mods = set(_pyproject()["tool"]["setuptools"]["py-modules"])
-    assert mods == {"ori_pseudo", "mix_label", "cross_label", "evaluate",
-                    "predict"}
-    for m in mods:
+def test_no_top_level_modules_in_wheel():
+    # every console script must resolve inside the css_tpu namespace — a
+    # wheel installing a bare `evaluate`/`predict` module would collide
+    # with unrelated distributions (e.g. HuggingFace evaluate)
+    cfg = _pyproject()
+    assert "py-modules" not in cfg.get("tool", {}).get("setuptools", {})
+    for target in cfg["project"]["scripts"].values():
+        assert target.startswith("css_tpu."), target
+    # the reference-named repo-root shims still exist and expose main()
+    for m in ("ori_pseudo", "mix_label", "cross_label", "evaluate",
+              "predict"):
         assert os.path.exists(os.path.join(REPO, f"{m}.py"))
+        assert callable(getattr(importlib.import_module(m), "main"))
 
 
 def test_config_yamls_are_package_data():
@@ -52,11 +59,8 @@ def fresh_native_io(monkeypatch):
 
     monkeypatch.setattr(native_io, "_LIB", None)
     monkeypatch.setattr(native_io, "_TRIED", False)
+    # monkeypatch restores the original _LIB/_TRIED cache afterwards
     yield native_io
-    # force re-resolution for later tests with the original environment
-    native_io._LIB = None
-    native_io._TRIED = False
-    native_io._lib()
 
 
 def test_native_lib_env_override(fresh_native_io, monkeypatch):

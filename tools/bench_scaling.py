@@ -9,64 +9,20 @@ images/sec (or that shard a smaller global batch over fewer chips) know
 the scaling law.  Each batch size is its own XLA program (static shapes);
 compiles land in the persistent cache.
 
+Measured (docs/perf_round3.md): 4/8/12/16 -> 41.3 / 55.6 / 34.5 / 49.2
+img/s/chip — the recipe batch is also the hardware optimum.
+
 Usage:  python tools/bench_scaling.py [--batches 4,8,12,16] [--steps 10]
 """
 
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
-def bench_batch(batch: int, steps: int, warmup: int = 3) -> float:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from css_tpu.models import build_model
-    from css_tpu.train.state import create_train_state, make_optimizer
-    from css_tpu.train.train_step import StepConfig, make_train_step
-
-    crop, num_classes = 512, 21
-    model = build_model(num_classes=num_classes, output_dim=256,
-                        backbone="resnet101", dtype=jnp.bfloat16, remat=False)
-    tx = make_optimizer(base_lr=6.4e-3, weight_decay=5e-4, total_steps=80000)
-    state = create_train_state(
-        jax.random.key(0), model, tx, (1, crop, crop, 3),
-        num_classes=num_classes, output_dim=256,
-    )
-    cfg = StepConfig(
-        num_classes=num_classes, crop_hw=(crop, crop), scale_range=(0.5, 1.5),
-        strategy="ori", mix_mode="cutmix", sup_loss="ce",
-        negative_mode="sampled_pallas",
-    )
-    step = jax.jit(make_train_step(model, tx, cfg, axis_name=None),
-                   donate_argnums=(0,))
-
-    rng = np.random.default_rng(0)
-    batch_d = {
-        "l_image": jnp.asarray(
-            rng.random((batch, crop, crop, 3), dtype=np.float32)),
-        "l_label": jnp.asarray(
-            rng.integers(0, num_classes, (batch, crop, crop)).astype(np.int32)),
-        "l_valid_hw": jnp.full((batch, 2), crop, jnp.int32),
-        "u_image": jnp.asarray(
-            rng.random((batch, crop, crop, 3), dtype=np.float32)),
-        "u_valid_hw": jnp.full((batch, 2), crop, jnp.int32),
-    }
-
-    key, w, flag = jax.random.key(1), jnp.float32(1.0), jnp.asarray(False)
-    for _ in range(warmup):
-        state, metrics = step(state, batch_d, key, w, flag)
-    jax.device_get(metrics["total"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch_d, key, w, flag)
-    jax.device_get(metrics["total"])
-    return 2 * batch * steps / (time.perf_counter() - t0)
+from bench import bench_recipe  # noqa: E402  (the canonical recipe builder)
 
 
 def main():
@@ -86,7 +42,9 @@ def main():
     out = {}
     for b in [int(x) for x in args.batches.split(",")]:
         try:
-            rate = bench_batch(b, args.steps)
+            rate = bench_recipe(backbone="resnet101", crop=512, batch=b,
+                                sup_loss="ce", negative_mode="sampled_pallas",
+                                remat=False, steps=args.steps)
             out[b] = round(rate, 2)
             print(f"batch {b}+{b}: {rate:.2f} img/s/chip", flush=True)
         except Exception as e:  # OOM marks the HBM ceiling — record and go on
