@@ -33,7 +33,17 @@ def main():
                         "random crop")
     p.add_argument("--stride", type=int, default=None,
                    help="sliding-window stride (default 2/3 of crop)")
+    p.add_argument("--flip", action="store_true",
+                   help="test-time augmentation: average softmax "
+                        "probabilities with the horizontally flipped input")
+    p.add_argument("--scales", type=str, default="1.0",
+                   help="test-time augmentation: comma-separated input "
+                        "rescales to average over (e.g. 0.75,1.0,1.25); "
+                        "composes with --sliding and --flip")
     args = p.parse_args()
+    scales = tuple(float(s) for s in args.scales.split(",") if s.strip())
+    if not scales or any(s <= 0 for s in scales):
+        p.error(f"--scales must be positive floats, got {args.scales!r}")
 
     from css_tpu.utils.preempt import apply_platform_override
 
@@ -94,9 +104,11 @@ def main():
         canvas = tuple(cfg.get("Dataset.canvas_size", crop))
         stride = (args.stride, args.stride) if args.stride else None
         step_fn = make_sliding_eval_step(model, num_classes, canvas, crop,
-                                         stride, DATA_AXIS)
+                                         stride, DATA_AXIS,
+                                         flip=args.flip, scales=scales)
     else:
-        step_fn = make_eval_step(model, num_classes, DATA_AXIS)
+        step_fn = make_eval_step(model, num_classes, DATA_AXIS,
+                                 flip=args.flip, scales=scales)
     eval_step = sharded_eval_step(step_fn, mesh)
     cm = _evaluate(eval_step, state, test_loader, crop, num_classes,
                    jax.random.key(cfg.get("Seed", 3407)), mesh,

@@ -371,7 +371,26 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
     return step
 
 
-def make_eval_step(model, num_classes: int, axis_name: Optional[str] = None):
+def _round_to_multiple(x: float, mult: int = 8) -> int:
+    """Nearest positive multiple of ``mult`` — TTA-scaled inputs keep
+    TPU-friendly (lane/sublane-aligned) spatial dims."""
+    return max(mult, int(round(x / mult)) * mult)
+
+
+def _conf_matrix_delta(yhat, label, valid, num_classes, axis_name):
+    """[C, C] int32 confusion-matrix update (rows = target, cols = pred),
+    bincount formulation (util/meter.py:40-48); psum'd across the mesh."""
+    ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
+    idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
+    binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
+    delta = binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
+    if axis_name is not None:
+        delta = jax.lax.psum(delta, axis_name)
+    return delta
+
+
+def make_eval_step(model, num_classes: int, axis_name: Optional[str] = None,
+                   flip: bool = False, scales=(1.0,)):
     """Confusion-matrix accumulation step over the EMA teacher in eval mode.
 
     The reference evaluates the *teacher* (ori_pseudo.py:129,191-211).
@@ -383,21 +402,49 @@ def make_eval_step(model, num_classes: int, axis_name: Optional[str] = None):
     slice of the batch and the delta is ``psum``'d, so the returned matrix is
     the full-batch update on every replica — the device-level analog of the
     reference's cross-rank ``torch_dist_sum`` (ori_pseudo.py:208-209).
-    """
 
-    def eval_step(params, batch_stats, conf_mat, image, label, valid):
+    ``flip``/``scales`` enable test-time augmentation beyond the reference's
+    protocol: softmax probabilities are averaged over a horizontal flip and/or
+    a set of input rescales (each rounded to a lane-friendly multiple of 8)
+    before the argmax.  The default (no flip, scale 1.0) compiles to exactly
+    the original single-forward graph.
+    """
+    scales = tuple(float(s) for s in scales)
+    plain = (not flip) and scales == (1.0,)
+
+    def _probs(params, batch_stats, image, out_hw):
         pred, _ = model.apply(
             {"params": params, "batch_stats": batch_stats}, image, train=False
         )
-        pred = bilinear_resize(pred, label.shape[1:3], align_corners=True)
-        yhat = jnp.argmax(pred, axis=-1)
-        ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
-        idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
-        binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
-        delta = binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
-        if axis_name is not None:
-            delta = jax.lax.psum(delta, axis_name)
-        return conf_mat + delta
+        pred = bilinear_resize(pred, out_hw, align_corners=True)
+        return jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
+
+    def eval_step(params, batch_stats, conf_mat, image, label, valid):
+        out_hw = label.shape[1:3]
+        if plain:
+            # argmax(logits) == argmax(softmax(logits)): the TTA-free path
+            # stays the single upsampled-logit forward.
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, image,
+                train=False)
+            pred = bilinear_resize(pred, out_hw, align_corners=True)
+            yhat = jnp.argmax(pred, axis=-1)
+        else:
+            h, w = int(image.shape[1]), int(image.shape[2])
+            prob = jnp.zeros(
+                (image.shape[0], out_hw[0], out_hw[1], num_classes),
+                jnp.float32)
+            for s in scales:
+                im = image if s == 1.0 else bilinear_resize(
+                    image, (_round_to_multiple(h * s),
+                            _round_to_multiple(w * s)), align_corners=True)
+                prob = prob + _probs(params, batch_stats, im, out_hw)
+                if flip:
+                    prob = prob + _probs(
+                        params, batch_stats, im[:, :, ::-1], out_hw)[:, :, ::-1]
+            yhat = jnp.argmax(prob, axis=-1)
+        return conf_mat + _conf_matrix_delta(yhat, label, valid, num_classes,
+                                             axis_name)
 
     return eval_step
 
@@ -413,7 +460,8 @@ def _tile_origins(full: int, crop: int, stride: int):
 
 
 def make_sliding_eval_step(model, num_classes: int, canvas_hw, crop_hw,
-                           stride_hw=None, axis_name: Optional[str] = None):
+                           stride_hw=None, axis_name: Optional[str] = None,
+                           flip: bool = False, scales=(1.0,)):
     """Paper-protocol sliding-window eval over the FULL canvas.
 
     The in-training eval (make_eval_step) follows the reference's protocol:
@@ -427,19 +475,28 @@ def make_sliding_eval_step(model, num_classes: int, canvas_hw, crop_hw,
     bilinearly upsampled x4) are accumulated over the canvas and averaged by
     coverage count; argmax over the averaged map feeds the confusion matrix.
     Same signature as make_eval_step's step.
+
+    ``flip``/``scales`` add the full ms+flip benchmark protocol: the whole
+    canvas is rescaled (multiples of 8) and/or mirrored, windows slide over
+    each variant, and the per-variant averaged probability maps are resized
+    back to canvas resolution and summed before the argmax.
     """
     ch, cw = crop_hw
     fh, fw = canvas_hw
     sh, sw = stride_hw or (2 * ch // 3, 2 * cw // 3)
-    oys = _tile_origins(fh, ch, sh)
-    oxs = _tile_origins(fw, cw, sw)
+    scales = tuple(float(s) for s in scales)
 
-    def eval_step(params, batch_stats, conf_mat, image, label, valid):
-        b = image.shape[0]
-        acc = jnp.zeros((b, fh, fw, num_classes), jnp.float32)
-        cnt = jnp.zeros((fh, fw, 1), jnp.float32)
-        for oy in oys:
-            for ox in oxs:
+    def _canvas_probs(params, batch_stats, image):
+        """Coverage-averaged softmax map of one canvas variant (any HxW ≥
+        nothing: smaller-than-crop canvases are zero-padded up to the crop)."""
+        b, h, w = image.shape[0], int(image.shape[1]), int(image.shape[2])
+        ph, pw = max(h, ch), max(w, cw)
+        if (ph, pw) != (h, w):
+            image = jnp.pad(image, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+        acc = jnp.zeros((b, ph, pw, num_classes), jnp.float32)
+        cnt = jnp.zeros((ph, pw, 1), jnp.float32)
+        for oy in _tile_origins(ph, ch, sh):
+            for ox in _tile_origins(pw, cw, sw):
                 win = jax.lax.dynamic_slice(
                     image, (0, oy, ox, 0), (b, ch, cw, image.shape[-1]))
                 pred, _ = model.apply(
@@ -456,13 +513,27 @@ def make_sliding_eval_step(model, num_classes: int, canvas_hw, crop_hw,
                     cnt,
                     jax.lax.dynamic_slice(cnt, (oy, ox, 0), (ch, cw, 1)) + 1.0,
                     (oy, ox, 0))
-        yhat = jnp.argmax(acc / jnp.maximum(cnt, 1.0), axis=-1)
-        ok = (label >= 0) & (label < num_classes) & valid[:, None, None]
-        idx = jnp.where(ok, label * num_classes + yhat, num_classes * num_classes)
-        binc = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
-        delta = binc[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
-        if axis_name is not None:
-            delta = jax.lax.psum(delta, axis_name)
-        return conf_mat + delta
+        return (acc / jnp.maximum(cnt, 1.0))[:, :h, :w]
+
+    def eval_step(params, batch_stats, conf_mat, image, label, valid):
+        b = image.shape[0]
+        total = jnp.zeros((b, fh, fw, num_classes), jnp.float32)
+        for s in scales:
+            im = image if s == 1.0 else bilinear_resize(
+                image, (_round_to_multiple(fh * s), _round_to_multiple(fw * s)),
+                align_corners=True)
+            variants = [im]
+            if flip:
+                variants.append(im[:, :, ::-1])
+            for k, v in enumerate(variants):
+                p = _canvas_probs(params, batch_stats, v)
+                if k == 1:
+                    p = p[:, :, ::-1]
+                if s != 1.0:
+                    p = bilinear_resize(p, (fh, fw), align_corners=True)
+                total = total + p
+        yhat = jnp.argmax(total, axis=-1)
+        return conf_mat + _conf_matrix_delta(yhat, label, valid, num_classes,
+                                             axis_name)
 
     return eval_step

@@ -56,6 +56,36 @@ def test_evaluate_cli_sliding_window(tmp_path, capsys, monkeypatch):
 
 
 @pytest.mark.slow
+def test_evaluate_cli_tta_flags(tmp_path, capsys, monkeypatch):
+    """--flip/--scales run the ms+flip TTA protocol through the CLI."""
+    from css_tpu.cli.train_main import run_training
+
+    cfgp = _tiny_yaml(tmp_path)
+    run_training("ori", _args(cfgp, tmp_path, "ttajob"))
+    ckpt = tmp_path / "ckpt" / "ttajob" / "best_model"
+
+    import evaluate
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--config", cfgp, "--checkpoint", str(ckpt),
+        "--num_labels", "8", "--synthetic", "--flip",
+        "--scales", "0.75,1.0",
+    ])
+    evaluate.main()
+    out = capsys.readouterr().out
+    miou = float(out.split("mIoU")[1].split()[0])
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+
+    # malformed scales fail fast at the argparse boundary
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--config", cfgp, "--checkpoint", str(ckpt),
+        "--num_labels", "8", "--synthetic", "--scales", "0,-1",
+    ])
+    with pytest.raises(SystemExit):
+        evaluate.main()
+
+
+@pytest.mark.slow
 def test_predict_cli_writes_masks(tmp_path, monkeypatch):
     """predict.py segments a directory of images into index masks +
     overlays of the original sizes."""
