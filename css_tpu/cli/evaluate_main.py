@@ -41,7 +41,10 @@ def main():
                         "rescales to average over (e.g. 0.75,1.0,1.25); "
                         "composes with --sliding and --flip")
     args = p.parse_args()
-    scales = tuple(float(s) for s in args.scales.split(",") if s.strip())
+    try:
+        scales = tuple(float(s) for s in args.scales.split(",") if s.strip())
+    except ValueError:
+        p.error(f"--scales must be positive floats, got {args.scales!r}")
     if not scales or any(s <= 0 for s in scales):
         p.error(f"--scales must be positive floats, got {args.scales!r}")
 

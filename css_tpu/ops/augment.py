@@ -28,8 +28,13 @@ TPU-native design notes:
     axis; the train step transposes to NHWC once, right before the conv
     stack.
 
-Accepted divergence: PIL's bilinear downscale antialiases (area-weighted
-support); this implementation uses pure bilinear taps.  Labels and
+Image resampling reproduces PIL's BILINEAR law exactly, including the
+antialiased downscale: PIL scales the triangle filter's support by the
+shrink factor (``filterscale = max(v/r, 1)``), clamps each output pixel's
+window to the image and renormalizes.  Because the interpolation operator
+here is a dense per-image [crop, H] matrix contracted on the MXU, arbitrary
+per-row weights cost the same as 2-tap bilinear — the triangle weights are
+computed densely from the traced ratio with zero gathers.  Labels and
 confidence maps use nearest sampling in both.
 
 The generic signature carries K label maps and L confidence maps, covering
@@ -91,11 +96,20 @@ def _reflect_index(idx, size):
     return jnp.where(size > 1, jnp.minimum(m, period - m), 0)
 
 
-def _axis_maps(u_off, out_size: int, valid, ratio, crop):
+def _axis_maps(u_off, out_size: int, in_size: int, valid, ratio, crop):
     """Per-axis backward mapping.  ``u_off`` is a uniform [0,1) draw for the
     crop offset (kept explicit so tests can force exact geometry).  Returns
-    (bilinear lo idx, hi idx, frac, nearest idx, oob mask) — all 1-D of
-    length out_size."""
+    (resample matrix [out_size, in_size] f32, nearest idx, oob mask).
+
+    The resample matrix carries PIL BILINEAR's exact weights
+    (dataset_helpers/VOC.py:70 — ``transforms_f.resize(..., Image.BILINEAR)``):
+    for output position o at source-space centre ``c_o = (rpos_o + 0.5)·v/r``,
+    weight over source pixel j is ``tri((j + 0.5 - c_o)/fs)`` with
+    ``fs = max(v/r, 1)`` — i.e. standard 2-tap bilinear when upscaling and
+    the area-weighted antialiasing triangle when downscaling — masked to the
+    valid extent and renormalized per row, exactly PIL's boundary handling.
+    Reflection padding and cropping compose into the same matrix through
+    ``rpos``."""
     v = valid.astype(jnp.float32)
     r = jnp.maximum(jnp.floor(v * ratio), 1.0)          # resized extent
     p = jnp.maximum(r, crop)                            # padded extent
@@ -103,14 +117,16 @@ def _axis_maps(u_off, out_size: int, valid, ratio, crop):
     pos = jnp.arange(out_size, dtype=jnp.float32) + off  # padded coords
     oob = pos >= r
     rpos = _reflect_index(pos, r)
-    # resized -> source (half-pixel centres, PIL convention)
-    src = jnp.clip((rpos + 0.5) * v / r - 0.5, 0.0, v - 1.0)
-    lo = jnp.floor(src)
-    frac = src - lo
-    lo_i = lo.astype(jnp.int32)
-    hi_i = jnp.minimum(lo_i + 1, valid - 1)
-    near = jnp.clip(jnp.floor((rpos + 0.5) * v / r), 0.0, v - 1.0).astype(jnp.int32)
-    return lo_i, hi_i, frac, near, oob
+    scale = v / r                                        # source / resized
+    fs = jnp.maximum(scale, 1.0)                         # PIL filterscale
+    centre = (rpos + 0.5) * scale                        # source-space
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    x = (j[None, :] + 0.5 - centre[:, None]) / fs
+    mat = jnp.maximum(0.0, 1.0 - jnp.abs(x))             # triangle filter
+    mat = jnp.where(j[None, :] < v, mat, 0.0)            # clamp to valid
+    mat = mat / jnp.maximum(mat.sum(axis=1, keepdims=True), 1e-12)
+    near = jnp.clip(jnp.floor((rpos + 0.5) * scale), 0.0, v - 1.0).astype(jnp.int32)
+    return mat, near, oob
 
 
 def apply_geometric(
@@ -130,23 +146,21 @@ def apply_geometric(
     ``transform`` (VOC.py:64-92) and compare outputs pixel-for-pixel.
     """
     ch, cw = crop_hw
-    ylo, yhi, wy, ynear, y_oob = _axis_maps(u_y, ch, valid_hw[0], ratio, ch)
-    xlo, xhi, wx, xnear, x_oob = _axis_maps(u_x, cw, valid_hw[1], ratio, cw)
-
-    # Separable bilinear as two matmuls on the MXU: the per-image 2-tap
-    # interpolation matrices A [ch, H] / B [cw, W] are built with one_hot and
-    # contracted against the image.  bf16 operands with f32 accumulation —
-    # at least the precision of the reference's uint8 PIL pipeline, and
-    # orders of magnitude faster than per-pixel gathers on TPU.
     h, w = image.shape[1], image.shape[2]
-    mat_y = (jax.nn.one_hot(ylo, h, dtype=jnp.bfloat16) * (1 - wy)[:, None]
-             + jax.nn.one_hot(yhi, h, dtype=jnp.bfloat16) * wy[:, None])
-    mat_x = (jax.nn.one_hot(xlo, w, dtype=jnp.bfloat16) * (1 - wx)[:, None]
-             + jax.nn.one_hot(xhi, w, dtype=jnp.bfloat16) * wx[:, None])
+    mat_y, ynear, y_oob = _axis_maps(u_y, ch, h, valid_hw[0], ratio, ch)
+    mat_x, xnear, x_oob = _axis_maps(u_x, cw, w, valid_hw[1], ratio, cw)
+
+    # Separable resampling as two matmuls on the MXU: the per-image dense
+    # interpolation matrices A [ch, H] / B [cw, W] carry the exact PIL
+    # triangle weights (antialiasing included) at the same matmul cost as
+    # 2-tap bilinear.  bf16 operands with f32 accumulation — at least the
+    # precision of the reference's uint8 PIL pipeline, and orders of
+    # magnitude faster than per-pixel gathers on TPU.
     img_b = image.astype(jnp.bfloat16)
-    rows = jnp.einsum("oh,chw->cow", mat_y, img_b,
+    rows = jnp.einsum("oh,chw->cow", mat_y.astype(jnp.bfloat16), img_b,
                       preferred_element_type=jnp.float32)        # [3, ch, W]
-    out_img = jnp.einsum("pw,cow->cop", mat_x, rows.astype(jnp.bfloat16),
+    out_img = jnp.einsum("pw,cow->cop", mat_x.astype(jnp.bfloat16),
+                         rows.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)     # [3, ch, cw]
 
     # Nearest resampling for labels/confidences via exact one-hot selection

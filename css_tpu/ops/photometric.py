@@ -11,10 +11,19 @@ Layout is channel-first ([3, H, W]) so every elementwise op runs with the
 image width on the TPU lane dimension (a [H, W, 3] layout would waste
 125/128 lanes).
 
-Known, accepted divergences from the PIL path: computation is float (PIL
-quantizes to uint8 after every enhancement step), and the Gaussian blur is an
-exact separable Gaussian with edge-replicate padding rather than PIL's
-box-blur approximation.  Both are sub-quantization-level augmentation noise.
+The blur matches PIL's actual algorithm (reverse-engineered from Pillow
+12.1 impulse/least-squares probes, see tests/test_blur_law.py):
+``ImageFilter.GaussianBlur(radius=sigma)`` is NOT a Gaussian — it is three
+sequential fractional box blurs per axis with per-pass radius
+``q = sigma^2 / (6 - 2 sigma^2)`` (variance matching: a fractional box
+[q, 1, q]/(2q+1) has variance 2q/(2q+1) = sigma^2/3 per pass), edge-clamp
+padding per pass.  :func:`pil_gaussian_blur` reproduces this law exactly in
+float; the only residual vs PIL is PIL's own per-pass uint8 rounding
+(measured <= 2.9/255 worst-case over sigma in [0.15, 1.15]).
+
+Known, accepted divergence from the PIL path: computation is float (PIL
+quantizes to uint8 after every enhancement step) — sub-quantization-level
+augmentation noise.
 """
 
 from __future__ import annotations
@@ -22,7 +31,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["color_jitter", "gaussian_blur", "random_photometric"]
+__all__ = ["color_jitter", "gaussian_blur", "pil_gaussian_blur",
+           "random_photometric"]
 
 _BLUR_RADIUS = 4  # supports sigma up to ~1.3 at 3-sigma truncation
 
@@ -100,8 +110,47 @@ def color_jitter(rng, img, brightness=(0.75, 1.25), contrast=(0.75, 1.25),
     return img
 
 
+def pil_gaussian_blur(img, sigma):
+    """PIL-law blur of one [3, H, W] image: 3 fractional box passes per axis.
+
+    Matches ``PIL.ImageFilter.GaussianBlur(radius=sigma)``
+    (reference usage: dataset_helpers/VOC.py:100-103): per-pass radius
+    ``q = sigma^2/(6 - 2 sigma^2)`` so that three [q,1,q]/(2q+1) boxes carry
+    the requested total variance sigma^2.  Valid for sigma < sqrt(3/2)
+    (q < 1) — the reference draws sigma ~ U(0.15, 1.15), well inside.
+    Edge-clamp padding is applied per pass, exactly as PIL's box blur does
+    (this differs near borders from clamping a single composed 7-tap
+    kernel).  ``sigma`` is a traced scalar.
+
+    Cost: 6 passes x 3 taps = 18 shift-adds — the same as the previous
+    radius-4 separable Gaussian (2 axes x 9 taps), with exact PIL fidelity.
+    """
+    sig2 = jnp.square(jnp.maximum(sigma, 1e-4))
+    q = sig2 / (6.0 - 2.0 * sig2)
+    a = q / (2.0 * q + 1.0)
+    b = 1.0 / (2.0 * q + 1.0)
+
+    def box_pass(x, axis):
+        n = x.shape[axis]
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (1, 1)
+        p = jnp.pad(x, pad, mode="edge")
+        lo = jax.lax.dynamic_slice_in_dim(p, 0, n, axis=axis)
+        mid = jax.lax.dynamic_slice_in_dim(p, 1, n, axis=axis)
+        hi = jax.lax.dynamic_slice_in_dim(p, 2, n, axis=axis)
+        return a * (lo + hi) + b * mid
+
+    for _ in range(3):
+        img = box_pass(img, 2)   # horizontal passes first, as PIL does
+    for _ in range(3):
+        img = box_pass(img, 1)
+    return img
+
+
 def gaussian_blur(img, sigma):
-    """Separable Gaussian blur of one [3, H, W] image; edge-replicate pad.
+    """Separable exact-Gaussian blur of one [3, H, W] image; edge-replicate
+    pad.  Kept for callers that want a true Gaussian; the training pipeline
+    uses :func:`pil_gaussian_blur` (the reference's actual filter law).
 
     ``sigma`` is a traced scalar; taps are computed from it per image.  With
     sigma -> 0 the kernel degenerates to identity.
@@ -133,5 +182,5 @@ def random_photometric(rng, img):
     img = jnp.where(do_jitter, jittered, img)
     do_blur = jax.random.uniform(k_db) > 0.5
     sigma = jax.random.uniform(k_sig, minval=0.15, maxval=1.15)
-    blurred = gaussian_blur(img, sigma)
+    blurred = pil_gaussian_blur(img, sigma)
     return jnp.where(do_blur, blurred, img)

@@ -51,9 +51,11 @@ def test_downscale_pad_matches_torch_bilinear_and_pil_nearest():
     )
     oi, ol, oc = np.asarray(oi), np.asarray(ol), np.asarray(oc)
 
+    # antialias=True: torch's antialiased bilinear implements the same
+    # PIL triangle-filter law our interpolation matrices carry on downscale
     want = F.interpolate(
         torch.from_numpy(img), size=(32, 32),
-        mode="bilinear", align_corners=False, antialias=False,
+        mode="bilinear", align_corners=False, antialias=True,
     ).numpy()
     np.testing.assert_allclose(oi[:, :, :32, :32], want, atol=1e-2)
 

@@ -84,6 +84,15 @@ def test_evaluate_cli_tta_flags(tmp_path, capsys, monkeypatch):
     with pytest.raises(SystemExit):
         evaluate.main()
 
+    # non-numeric scales also fail at the argparse boundary, not with a
+    # raw ValueError traceback (round-4 advisor finding)
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--config", cfgp, "--checkpoint", str(ckpt),
+        "--num_labels", "8", "--synthetic", "--scales", "abc",
+    ])
+    with pytest.raises(SystemExit):
+        evaluate.main()
+
 
 @pytest.mark.slow
 def test_predict_cli_writes_masks(tmp_path, monkeypatch):

@@ -278,11 +278,11 @@ def test_transform_geometry_agreement(ref, ratio, canvas, crop):
     assert min(len(bad_rows_c), len(bad_cols_c)) <= 2, (
         len(bad_rows_c), len(bad_cols_c))
 
-    # bilinear image: PIL antialiases on downscale (documented divergence,
-    # augment.py:31-33) — compare only at ratio >= 1
-    if ratio >= 1.0:
-        img_err = np.abs(ref_img - np.asarray(out_img)).max()
-        assert img_err < 0.02, img_err
+    # image: PIL's BILINEAR law (antialiased triangle on downscale) is
+    # reproduced exactly by the dense interpolation matrices; residual is
+    # bf16 tap quantization + PIL's own uint8 rounding (1-2 uint8 steps).
+    img_err = np.abs(ref_img - np.asarray(out_img)).max()
+    assert img_err < 3.0 / 255.0, img_err
 
 
 def test_crop_offset_distribution_matches(ref):
