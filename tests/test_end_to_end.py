@@ -186,36 +186,68 @@ def test_training_driver_on_disk_voc_layout(tmp_path):
     assert (tmp_path / "ckpt" / "voc_disk" / "config.yaml").exists()
 
 
-def test_retry_once_on_transient_runtime_fault():
-    """_retry_once re-runs a pure step exactly once on JaxRuntimeError."""
+class _Log:
+    def __init__(self):
+        self.msgs = []
+
+    def info(self, m):
+        self.msgs.append(m)
+
+
+def test_recover_and_rerun_retries_then_restores():
+    """Fault ladder: in-place retry first (buffers may have survived), then
+    re-run the SAME batch from the host recovery snapshot (round-3 verdict
+    next #6 — the old retry was dead once donation consumed the state)."""
     import jax
+    import jax.numpy as jnp
 
-    from css_tpu.cli.train_main import _retry_once
-
-    class _Log:
-        def __init__(self):
-            self.msgs = []
-
-        def info(self, m):
-            self.msgs.append(m)
+    from css_tpu.cli.train_main import _HostRecovery, _recover_and_rerun
 
     log = _Log()
     calls = {"n": 0}
 
-    def flaky():
+    def flaky(s):
         calls["n"] += 1
         if calls["n"] == 1:
             raise jax.errors.JaxRuntimeError("transient fault")
-        return "ok"
+        return s, {"ok": True}
 
-    assert _retry_once(flaky, log, "train step") == "ok"
-    assert calls["n"] == 2 and any("retrying once" in m for m in log.msgs)
+    recovery = _HostRecovery(every=1)
+    recovery.refresh({"w": jnp.ones((2,))}, epoch=0)
 
-    def always_bad():
+    # case 1: retry in place succeeds (buffers alive)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        flaky("live")
+    out = _recover_and_rerun(flaky, "live", recovery, log,
+                             jax.errors.JaxRuntimeError("transient fault"))
+    assert out[0] == "live" and calls["n"] == 2
+    assert any("retrying once" in m for m in log.msgs)
+
+    # case 2: retry hits deleted donated buffers -> restore snapshot,
+    # re-run this batch from it, continue
+    calls["n"] = 0
+    seen = {}
+
+    def donated(s):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Array has been deleted or donated.")
+        seen["state"] = s
+        return s, {"ok": True}
+
+    out = _recover_and_rerun(donated, "dead-state", recovery, log,
+                             jax.errors.JaxRuntimeError("hardware blip"))
+    assert calls["n"] == 2
+    np.testing.assert_array_equal(np.asarray(seen["state"]["w"]), [1.0, 1.0])
+    assert any("restored host recovery snapshot" in m for m in log.msgs)
+
+    # case 3: persistent fault propagates (restored re-run also fails)
+    def always_bad(s):
         raise jax.errors.JaxRuntimeError("persistent fault")
 
-    with pytest.raises(jax.errors.JaxRuntimeError):
-        _retry_once(always_bad, log, "train step")
+    with pytest.raises(jax.errors.JaxRuntimeError, match="persistent"):
+        _recover_and_rerun(always_bad, "s", recovery, log,
+                           jax.errors.JaxRuntimeError("persistent fault"))
 
 
 def test_degenerate_labeled_split_fails_fast(tmp_path):
@@ -237,28 +269,74 @@ def test_degenerate_labeled_split_fails_fast(tmp_path):
                                   num_labels=1, num_devices=2))
 
 
-def test_retry_once_surfaces_original_error_when_buffers_donated():
-    """If the retry hits deleted (donated) buffers, the ORIGINAL fault is
-    surfaced instead of a bare 'Array has been deleted' (advisor round 2)."""
+def test_recover_surfaces_original_error_without_snapshot():
+    """With recovery disabled (host_recovery=0) and donated buffers
+    consumed, the ORIGINAL fault is surfaced instead of a bare 'Array has
+    been deleted' (advisor round 2)."""
     import jax
 
-    from css_tpu.cli.train_main import _retry_once
-
-    class _Log:
-        def info(self, m):
-            pass
+    from css_tpu.cli.train_main import _HostRecovery, _recover_and_rerun
 
     calls = {"n": 0}
 
-    def donated():
+    def donated(s):
         calls["n"] += 1
-        if calls["n"] == 1:
-            raise jax.errors.JaxRuntimeError("hardware blip")
         raise RuntimeError("Array has been deleted or donated.")
 
-    with pytest.raises(RuntimeError, match="donated input buffers.*hardware blip"):
-        _retry_once(donated, _Log(), "train step")
-    assert calls["n"] == 2
+    recovery = _HostRecovery(every=0)  # disabled -> no snapshot
+    recovery.refresh({"w": 1}, epoch=0)
+    assert recovery.restore() is None
+
+    with pytest.raises(RuntimeError,
+                       match="donated input buffers.*hardware blip"):
+        _recover_and_rerun(donated, "s", recovery, _Log(),
+                           jax.errors.JaxRuntimeError("hardware blip"))
+    assert calls["n"] == 1
+
+
+def test_mid_epoch_fault_costs_at_most_one_eval_interval(tmp_path, monkeypatch):
+    """End-to-end injected fault: a transient device fault mid-epoch (with
+    the donated state consumed, as on real TPU) must not kill run_training;
+    the run restores the host snapshot, REPLAYS from the snapshot's step,
+    and finishes all requested steps (round-3 verdict next #6)."""
+    import jax
+
+    import css_tpu.cli.train_main as tm
+    from css_tpu.cli.train_main import run_training
+
+    orig_build = tm._build_state_and_steps
+    fault = {"armed": True, "calls": 0}
+
+    def faulty_build(cfg, args, strategy, mesh):
+        model, state, step_cfg, train_step, eval_step = orig_build(
+            cfg, args, strategy, mesh)
+
+        def wrapped(state, batch, rng, weight, use_rep):
+            fault["calls"] += 1
+            if fault["armed"] and fault["calls"] == 3:
+                # simulate TPU donation semantics (CPU ignores donation):
+                # first fault is transient, the retry then finds the state
+                # buffers consumed
+                fault["armed"] = False
+                fault["dead"] = True
+                raise jax.errors.JaxRuntimeError("injected hardware fault")
+            if fault.pop("dead", False):
+                raise RuntimeError("Array has been deleted or donated.")
+            return train_step(state, batch, rng, weight, use_rep)
+
+        return model, state, step_cfg, wrapped, eval_step
+
+    monkeypatch.setattr(tm, "_build_state_and_steps", faulty_build)
+
+    cfgp = _tiny_yaml(tmp_path)
+    # total_iter >> max_steps: the replayed steps after the restore must not
+    # exhaust the epoch budget before max_steps is reached
+    result = run_training("ori", _args(cfgp, tmp_path, "faulted",
+                                       total_iter=20, max_steps=6))
+    assert result["steps"] == 6
+    assert np.isfinite(result["best_miou"])
+    log_text = open(tmp_path / "ckpt" / "faulted" / "train.log").read()
+    assert "restored host recovery snapshot" in log_text
 
 
 def test_rolling_checkpoint_stamps_best_miou(tmp_path, monkeypatch):
