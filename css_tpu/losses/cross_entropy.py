@@ -8,8 +8,15 @@ Covers the reference's supervised losses:
   ``min_kept`` least-confident valid pixels (or all below ``thresh``), ignore
   the rest; used for Cityscapes (ori_pseudo.py:79,164-167).
 
-Both are fixed-shape: OHEM's "kth smallest probability" is computed with a
-full sort over the flattened confidence map instead of boolean indexing.
+Both are fixed-shape: OHEM's "kth smallest probability" is computed exactly
+without sorting OR boolean indexing — a 31-step bisection over the float32
+bit space (monotonic for non-negative floats), i.e. 31 streaming
+compare-and-count reductions over the confidence map.  On v5e the full XLA
+sort of the 769^2 recipe's 2.37M confidences measures 1.7 ms vs 1.3 ms for
+the bisection, and the whole OHEM loss+grad drops 0.3 ms/step — a real but
+small lever; kept because it is exact, never slower, and its 31 fixed
+passes scale O(N) rather than O(N log N) with crop area
+(tools/profile_ohem.py, docs/perf_round4.md).
 """
 
 from __future__ import annotations
@@ -17,7 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cross_entropy", "ohem_cross_entropy", "per_pixel_cross_entropy"]
+__all__ = ["cross_entropy", "kth_smallest_nonneg", "ohem_cross_entropy",
+           "per_pixel_cross_entropy"]
 
 
 def per_pixel_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -45,11 +53,41 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return nll.sum() / denom
 
 
+def kth_smallest_nonneg(flat: jax.Array, k: int) -> jax.Array:
+    """Exact k-th smallest (1-based, duplicates counted) of a 1-D array of
+    NON-NEGATIVE float32 values.
+
+    For x >= 0 the int32 bit pattern of float32 is monotonic in x, so the
+    k-th order statistic is found by bisecting the bit space: 31 iterations
+    of "count elements <= mid", each a single fused compare-and-sum pass
+    over the array.  For OHEM's 2.37M-element confidence map this replaces
+    the full 2.37M sort (the round-3 verdict's named Cityscapes lever) with
+    31 streaming reductions that XLA keeps entirely in vector registers.
+    """
+    assert flat.ndim == 1
+    bits = jax.lax.bitcast_convert_type(flat.astype(jnp.float32), jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        # invariant: count(bits <= lo) < k <= count(bits <= hi)
+        mid = (lo + hi) // 2
+        cnt = jnp.sum((bits <= mid).astype(jnp.int32))
+        take_low = cnt >= k
+        return (jnp.where(take_low, lo, mid),
+                jnp.where(take_low, mid, hi))
+
+    lo0 = jnp.int32(-1)
+    hi0 = jnp.int32(0x7F7FFFFF)  # f32 max; probabilities top out at 1.0
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
+
+
 def ohem_cross_entropy(
     logits: jax.Array,
     labels: jax.Array,
     thresh: float = 0.7,
     min_kept: int = 200000,
+    _kth: str = "bisect",
 ) -> jax.Array:
     """Online hard-example-mining CE.
 
@@ -72,7 +110,10 @@ def ohem_cross_entropy(
 
     flat = target_prob.reshape(-1)
     k = min(int(min_kept), flat.shape[0])
-    kth = jnp.sort(flat)[k - 1]
+    # _kth="sort" keeps the round-3 full-sort formulation selectable for the
+    # on-chip A/B in tools/profile_ohem.py; both are exact
+    kth = (jnp.sort(flat)[k - 1] if _kth == "sort"
+           else kth_smallest_nonneg(flat, k))
     keep_thresh = jnp.maximum(kth, thresh)
     # min_kept > num_valid -> no confidence filtering (keep everything valid)
     keep_thresh = jnp.where(min_kept > num_valid, jnp.inf, keep_thresh)

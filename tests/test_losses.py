@@ -97,3 +97,24 @@ def test_attention_threshold_no_valid_pixels_is_finite():
     conf = jnp.zeros((1, 4, 4))
     out = attention_threshold_loss(logits, labels, conf, 0.97)
     assert np.isfinite(float(out)) and float(out) == 0.0
+
+
+def test_kth_smallest_bisection_matches_sort():
+    """kth_smallest_nonneg (31-step bit bisection, the 769^2 OHEM sort
+    replacement) is exact vs jnp.sort at every rank regime, including
+    duplicates, exact 0.0/1.0 plateaus, and denormal-free uniform draws."""
+    from css_tpu.losses.cross_entropy import kth_smallest_nonneg
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.random(10_001).astype(np.float32),
+        np.concatenate([np.zeros(50, np.float32), np.ones(50, np.float32),
+                        rng.random(900).astype(np.float32)]),
+        np.full(64, 0.25, np.float32),
+        rng.random(7).astype(np.float32),
+    ]
+    for arr in cases:
+        ref = np.sort(arr)
+        for k in {1, 2, len(arr) // 3, len(arr) // 2, len(arr)}:
+            got = float(kth_smallest_nonneg(jnp.asarray(arr), k))
+            assert got == ref[k - 1], (len(arr), k, got, ref[k - 1])
