@@ -1,8 +1,12 @@
 """Worker for the 2-process jax.distributed localhost smoke test.
 
-Each process owns 2 virtual CPU devices and feeds DIFFERENT local batch rows
-into the sharded eval step over the 4-device global mesh; the psum inside the
-step must produce the full-batch confusion matrix on every process — the
+Pod-like shape (round-3 verdict next #5): each process owns FOUR virtual
+CPU devices — the real TPU-pod topology of several chips per host — and
+feeds DIFFERENT local batch rows into the sharded steps over the 8-device
+global mesh.  Exercises ``shard_array``'s
+``make_array_from_process_local_data`` path with >1 local device per
+process, asserts the global batch assembles shard-for-shard correctly, and
+checks the in-step psums span both processes and all 8 shards — the
 multi-host analog of the reference's ``torch_dist_sum(rank, mat)``
 (ori_pseudo.py:208-209, util/torch_dist_sum.py:1-20).
 
@@ -17,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     pid, port = int(sys.argv[1]), int(sys.argv[2])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
     import jax
 
@@ -39,7 +43,8 @@ def main():
 
     distributed_init(coordinator=f"localhost:{port}", num_processes=2,
                      process_id=pid)
-    assert jax.process_count() == 2 and jax.device_count() == 4
+    assert jax.process_count() == 2 and jax.device_count() == 8
+    assert jax.local_device_count() == 4
 
     crop, c = 32, 6
     model = build_model(num_classes=c, output_dim=16, backbone="tiny")
@@ -49,17 +54,29 @@ def main():
                                (1, crop, crop, 3), num_classes=c, output_dim=16)
 
     # the full global batch is derivable on both processes (seeded), each
-    # feeds only its own 2 rows
+    # feeds only its own 4 rows (1 per local device)
     rng = np.random.default_rng(42)
-    img_all = rng.random((4, crop, crop, 3), dtype=np.float32)
-    lab_all = rng.integers(-1, c, size=(4, crop, crop)).astype(np.int32)
-    valid_all = np.array([True, True, True, False])
+    img_all = rng.random((8, crop, crop, 3), dtype=np.float32)
+    lab_all = rng.integers(-1, c, size=(8, crop, crop)).astype(np.int32)
+    valid_all = np.array([True] * 7 + [False])
 
     mesh = data_mesh()
-    step = sharded_eval_step(make_eval_step(model, c, "data"), mesh)
-    sl = slice(2 * pid, 2 * pid + 2)
+    sl = slice(4 * pid, 4 * pid + 4)
     import jax.numpy as jnp
 
+    # ---- global-batch assembly: with >1 local device per process,
+    # shard_array must place local row j on the j-th local mesh device such
+    # that the GLOBAL batch order is [proc0 rows, proc1 rows] in mesh order
+    probe = shard_array(mesh, img_all[sl])
+    assert probe.shape[0] == 8, probe.shape
+    mesh_order = {d: i for i, d in enumerate(mesh.devices.flat)}
+    for shard in probe.addressable_shards:
+        gi = shard.index[0].start  # global batch row of this shard
+        assert gi == mesh_order[shard.device], (gi, mesh_order[shard.device])
+        np.testing.assert_array_equal(np.asarray(shard.data)[0],
+                                      img_all[gi])
+
+    step = sharded_eval_step(make_eval_step(model, c, "data"), mesh)
     mat = step(
         state.ema_params, state.ema_batch_stats,
         jnp.zeros((c, c), jnp.int32),
@@ -103,11 +120,11 @@ def main():
     canvas = 40
     brng = np.random.default_rng(7 + pid)  # DIFFERENT data per process
     local = {
-        "l_image": brng.random((2, canvas, canvas, 3), dtype=np.float32),
-        "l_label": brng.integers(0, c, size=(2, canvas, canvas)).astype(np.int32),
-        "l_valid_hw": np.full((2, 2), canvas, np.int32),
-        "u_image": brng.random((2, canvas, canvas, 3), dtype=np.float32),
-        "u_valid_hw": np.full((2, 2), canvas, np.int32),
+        "l_image": brng.random((4, canvas, canvas, 3), dtype=np.float32),
+        "l_label": brng.integers(0, c, size=(4, canvas, canvas)).astype(np.int32),
+        "l_valid_hw": np.full((4, 2), canvas, np.int32),
+        "u_image": brng.random((4, canvas, canvas, 3), dtype=np.float32),
+        "u_valid_hw": np.full((4, 2), canvas, np.int32),
     }
     new_state, metrics = tstep(tstate, shard_batch(mesh, local),
                                jax.random.key(3), jnp.float32(1.0),

@@ -1,8 +1,13 @@
-"""2-process jax.distributed localhost smoke (VERDICT r1 item #2).
+"""2-process x 4-device jax.distributed localhost smoke (VERDICT r1 item
+#2; pod shape per round-3 verdict next #5).
 
-Launches two real processes over a gloo-backed CPU collective runtime and
-checks that the sharded eval step's psum spans processes — i.e. multi-host
-eval computes the TRUE global confusion matrix, not each process's shard.
+Launches two real processes, each owning FOUR virtual CPU devices (the
+TPU-pod topology: several chips per host), over a gloo-backed collective
+runtime.  Checks that shard_array assembles the 8-row global batch
+shard-for-shard correctly through make_array_from_process_local_data, and
+that the sharded steps' psums span both processes and all 8 shards — i.e.
+multi-host eval computes the TRUE global confusion matrix and multi-host
+train leaves identical replicated state everywhere.
 """
 
 import os
