@@ -34,6 +34,20 @@ batch_transform, ddp_model.py:38-57) costs 1271 ms per b8 512^2 step =
 a 12.6 img/s host-side ceiling that no GPU overlap can hide, so 20 img/s
 is an upper bound, not a typical figure.  North star: vs_baseline >= 2.0.
 
+``extra.cityscapes_vs_baseline`` grounds the 769^2 recipe the same way:
+the A100 estimate scales the VOC figure by the per-image cost ratio —
+769^2/512^2 = 2.26x pixels (same backbone depth; deep-stem and OHEM are
+small on top) -> ~8.9 img/s/GPU — and is again generous: the reference's
+measured in-forward PIL chain at b4 769^2 scale (0.5,2.0) costs 1451
+ms/step = a 5.5 img/s host ceiling that its serial design cannot hide
+(tools/bench_reference_aug.py 4 769 2; docs/perf_round4.md).
+
+**The primary metric definition is FROZEN as of round 3**: the ``value``
+key is voc_sampled_pallas (the reference-faithful Monte-Carlo law,
+gather-free) and will not change meaning again; trend across rounds via
+``extra`` keys (r01 51.53 expected_pallas / r02 45.34 sampled /
+r03 55.54 sampled_pallas, see BENCH_r0*.json).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
@@ -42,6 +56,9 @@ import os
 import time
 
 A100_REFERENCE_IMG_PER_SEC = 20.0
+# VOC estimate scaled by the 769^2/512^2 per-image pixel (=FLOP) ratio;
+# see module docstring for the grounding measurement
+A100_CITY_IMG_PER_SEC = A100_REFERENCE_IMG_PER_SEC / (769**2 / 512**2)
 STEPS = 10
 WARMUP = 3
 # skip companion recipes if the primary + earlier extras already consumed
@@ -143,6 +160,10 @@ def main():
             extra[name] = round(bench_recipe(**kw), 2)
         except Exception as e:  # companion recipes must not kill the bench
             extra[name] = f"error: {type(e).__name__}"
+
+    if isinstance(extra.get("cityscapes_769"), float):
+        extra["cityscapes_vs_baseline"] = round(
+            extra["cityscapes_769"] / A100_CITY_IMG_PER_SEC, 3)
 
     print(json.dumps({
         "metric": "semi-supervised train throughput (VOC recipe, reference "

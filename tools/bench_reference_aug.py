@@ -15,7 +15,9 @@ ground bench.py's `vs_baseline` denominator: the measured chain is a hard
 host-side ceiling on the reference's per-GPU throughput no matter how
 fast the GPU is.
 
-Usage: python tools/bench_reference_aug.py [batch] [crop]
+Usage: python tools/bench_reference_aug.py [batch] [crop] [max_scale]
+  VOC recipe: 8 512 (scale 0.5-1.5); Cityscapes recipe: 4 769 2
+  (scale 0.5-2.0, CityScapes_config_baseline.yaml)
 """
 
 import sys
@@ -30,7 +32,7 @@ import torch
 from _refshim import ensure_dist, import_reference  # noqa: E402
 
 
-def main(batch=8, crop=512):
+def main(batch=8, crop=512, max_scale=1.5):
     import_reference()
     ensure_dist()  # generate_cut_gather all_gathers across the (1-proc) group
     from generalframeworks.dataset_helpers.VOC import batch_transform
@@ -47,7 +49,7 @@ def main(batch=8, crop=512):
     def chain():
         im, la, lo = batch_transform(images, labels, logits,
                                      crop_size=(crop, crop),
-                                     scale_size=(0.5, 1.5),
+                                     scale_size=(0.5, max_scale),
                                      augmentation=False)
         im, la, lo = generate_cut_gather(im, la, lo, mode="cutmix")
         im, la, lo = batch_transform(im, la, lo, crop_size=(crop, crop),
@@ -70,4 +72,4 @@ def main(batch=8, crop=512):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    main(*(float(a) if "." in a else int(a) for a in sys.argv[1:]))
