@@ -68,7 +68,7 @@ EXTRA_BUDGET_S = float(os.environ.get("CSS_BENCH_BUDGET_S", "2400"))
 
 def bench_recipe(*, backbone, crop, batch, sup_loss, negative_mode, remat,
                  num_classes=21, remat_policy="nothing", steps=STEPS,
-                 warmup=WARMUP):
+                 warmup=WARMUP, cfg_overrides=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,6 +91,7 @@ def bench_recipe(*, backbone, crop, batch, sup_loss, negative_mode, remat,
         scale_range=(0.5, 1.5) if crop == 512 else (0.5, 2.0),
         strategy="ori", mix_mode="cutmix", sup_loss=sup_loss,
         ohem_min_kept_per_image=50000, negative_mode=negative_mode,
+        **(cfg_overrides or {}),
     )
     step = jax.jit(make_train_step(model, tx, cfg, axis_name=None),
                    donate_argnums=(0,))

@@ -96,11 +96,16 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         # bool, or a YAML list of 0-based stage indices to remat only those
         # stages (per-stage knob, docs/perf_round3.md) — coerced to a tuple
         # so the flax module field stays hashable; a bare int means that one
-        # stage (NOT bool(int), which would silently remat everything)
+        # stage (NOT bool(int), which would silently remat everything).
+        # Default keys on CROP AREA, the quantity that actually drives
+        # activation memory: 512^2 fits a 16 GB chip un-remat'd, 769^2
+        # compiles a 22 GB step without remat.  (It used to key on
+        # Dataset.name == "CityScapes", which --synthetic silently rewrote
+        # to "Synthetic" — the shipped Cityscapes recipe then OOM'd.)
         remat=(lambda r: tuple(r) if isinstance(r, (list, tuple))
                else ((r,) if isinstance(r, int) and not isinstance(r, bool)
                      else bool(r)))(
-            cfg.get("Network.remat", cfg.get("Dataset.name") == "CityScapes")),
+            cfg.get("Network.remat", crop[0] * crop[1] > 512 * 512)),
         # what remat'd blocks keep: "nothing" (minimum memory) or "save_mid"
         # (keep conv2 outputs; backward recomputes only the 1x1 conv1 chain)
         remat_policy=cfg.get("Network.remat_policy", "nothing"),

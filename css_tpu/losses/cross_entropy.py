@@ -70,7 +70,10 @@ def kth_smallest_nonneg(flat: jax.Array, k: int) -> jax.Array:
     def body(_, lohi):
         lo, hi = lohi
         # invariant: count(bits <= lo) < k <= count(bits <= hi)
-        mid = (lo + hi) // 2
+        # lo + (hi-lo)//2, not (lo+hi)//2: the plain sum overflows int32
+        # once lo crosses ~2e-38's bit pattern while hi is still at f32-max
+        # (only reachable with inputs > ~1.5, but this is an exported helper)
+        mid = lo + (hi - lo) // 2
         cnt = jnp.sum((bits <= mid).astype(jnp.int32))
         take_low = cnt >= k
         return (jnp.where(take_low, lo, mid),

@@ -339,6 +339,39 @@ def test_mid_epoch_fault_costs_at_most_one_eval_interval(tmp_path, monkeypatch):
     assert "restored host recovery snapshot" in log_text
 
 
+def test_remat_default_keys_on_crop_area_not_dataset_name(tmp_path,
+                                                          monkeypatch):
+    """The shipped Cityscapes recipe run with --synthetic compiled a 22 GB
+    (OOM) step on a 16 GB chip: the remat default keyed on Dataset.name ==
+    "CityScapes", which the --synthetic override silently rewrote.  The
+    default now keys on crop area (512^2 fits un-remat'd, 769^2 does not),
+    so any dataset name gets the right memory behavior."""
+    import css_tpu.cli.train_main as tm
+    from css_tpu.cli.train_main import _apply_cli_shadows, load_config
+
+    captured = {}
+    sentinel = RuntimeError("stop after build_model")
+
+    def capture_build(**kw):
+        captured.update(kw)
+        raise sentinel
+
+    monkeypatch.setattr(tm, "build_model", capture_build)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cfg_name, expect in (("CityScapes_config_baseline.yaml", True),
+                             ("VOC_config_baseline.yaml", False)):
+        cfg = load_config(os.path.join(repo, "css_tpu", "config", cfg_name))
+        args = _args(str(tmp_path / "unused.yaml"), tmp_path, "rematkey",
+                     synthetic=True)
+        _apply_cli_shadows(cfg, args, "ori")
+        assert cfg.get("Dataset.name") == "Synthetic"  # the trigger
+        captured.clear()
+        with pytest.raises(RuntimeError, match="stop after build_model"):
+            tm._build_state_and_steps(cfg, args, "ori", mesh=None)
+        assert captured["remat"] is expect, (cfg_name, captured["remat"])
+
+
 def test_rolling_checkpoint_stamps_best_miou(tmp_path, monkeypatch):
     """The rolling last_model recovery checkpoint must carry best_miou, not
     the current epoch's miou: a crash-resume from last_model would otherwise

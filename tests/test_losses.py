@@ -112,6 +112,9 @@ def test_kth_smallest_bisection_matches_sort():
                         rng.random(900).astype(np.float32)]),
         np.full(64, 0.25, np.float32),
         rng.random(7).astype(np.float32),
+        # values > 1.5 drive the bisection's lo near hi=f32-max: guards the
+        # overflow-safe midpoint (lo + (hi-lo)//2) for non-probability use
+        rng.random(512).astype(np.float32) * 3e38,
     ]
     for arr in cases:
         ref = np.sort(arr)
