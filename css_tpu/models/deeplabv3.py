@@ -147,8 +147,10 @@ def build_model(
     elif backbone == "resnet101_stem":
         trunk = resnet101_stem(output_stride, dtype=dtype, axis_name=axis_name,
                                remat=remat, remat_policy=remat_policy)
-    elif backbone == "tiny":
-        trunk = resnet_tiny(output_stride, dtype=dtype, axis_name=axis_name)
+    elif backbone in ("tiny", "tiny_stem"):
+        trunk = resnet_tiny(output_stride, dtype=dtype, axis_name=axis_name,
+                            remat=remat, remat_policy=remat_policy,
+                            deep_stem=backbone == "tiny_stem")
     else:
         raise ValueError(f"unknown backbone {backbone}")
     return DeepLabV3PlusDual(

@@ -448,8 +448,15 @@ def resnet101(output_stride: int = 8, dtype: Any = jnp.float32,
 
 
 def resnet_tiny(output_stride: int = 8, dtype: Any = jnp.float32,
-                axis_name: Optional[str] = None) -> ResNetBackbone:
-    """Miniature trunk (1 block/stage, narrow) for tests and dry runs."""
+                axis_name: Optional[str] = None, remat: bool = False,
+                remat_policy: str = "nothing",
+                deep_stem: bool = False) -> ResNetBackbone:
+    """Miniature trunk (1 block/stage, narrow) for tests and dry runs.
+
+    ``remat``/``deep_stem`` mirror the full trunks so step-level tests can
+    exercise the production feature set (remat'd deep-stem, as the
+    Cityscapes recipe runs it) at test scale.
+    """
     if output_stride != 8:
         raise ValueError("tiny trunk only supports OS8")
     return ResNetBackbone(
@@ -459,9 +466,11 @@ def resnet_tiny(output_stride: int = 8, dtype: Any = jnp.float32,
             StageSpec(32, 1, 1, 1, 2),
             StageSpec(64, 1, 1, 2, 4),
         ),
-        deep_stem=False,
+        deep_stem=deep_stem,
         dtype=dtype,
         axis_name=axis_name,
+        remat=remat,
+        remat_policy=remat_policy,
     )
 
 

@@ -16,9 +16,10 @@ CROP = 32
 C = 6
 
 
-def _tiny_setup(axis_name=None, strategy="ori", **cfg_kw):
-    model = build_model(num_classes=C, output_dim=16, backbone="tiny",
-                        axis_name=axis_name)
+def _tiny_setup(axis_name=None, strategy="ori", backbone="tiny", remat=False,
+                **cfg_kw):
+    model = build_model(num_classes=C, output_dim=16, backbone=backbone,
+                        axis_name=axis_name, remat=remat)
     tx = make_optimizer(base_lr=1e-2, weight_decay=5e-4, total_steps=100)
     state = create_train_state(
         jax.random.key(0), model, tx, (1, CROP, CROP, 3), num_classes=C,
@@ -196,20 +197,41 @@ def test_fused_grouped_bn_equals_two_pass():
                                    rtol=1e-3, atol=2e-4)
 
 
-def test_fused_step_equals_unfused_metrics():
+@pytest.mark.parametrize("features", [
+    dict(strategy="mix"),
+    # the Cityscapes feature set (remat'd deep-stem + OHEM) at test scale:
+    # fused_forward is that recipe's default after the round-4 on-chip A/B
+    # (9.4 -> 18.3 img/s at 769^2, metrics matched to rel 5e-5 at the real
+    # shape — tools/check_fused_city_semantics.py, docs/perf_round4.md)
+    dict(strategy="ori", backbone="tiny_stem", remat=True, sup_loss="ohem",
+         ohem_min_kept_per_image=64),
+])
+def test_fused_step_equals_unfused_metrics(features):
     """The fused step must produce (numerically) the same losses as the
-    literal two-forward step on identical inputs and RNG."""
-    _, state_f, step_f = _tiny_setup(strategy="mix", fused_forward=True)
-    _, state_s, step_s = _tiny_setup(strategy="mix", fused_forward=False)
+    literal two-forward step on identical inputs and RNG — including under
+    remat + deep-stem + OHEM, the combination the Cityscapes recipe runs
+    fused in production."""
+    _, state_f, step_f = _tiny_setup(fused_forward=True, **features)
+    _, state_s, step_s = _tiny_setup(fused_forward=False, **features)
     batch = {k: jnp.asarray(v) for k, v in _batch(2, seed=5).items()}
     key = jax.random.key(7)
     w = jnp.float32(1.0)
     flag = jnp.asarray(False)
-    _, mf = jax.jit(step_f)(state_f, batch, key, w, flag)
-    _, ms = jax.jit(step_s)(state_s, batch, key, w, flag)
+    sf, mf = jax.jit(step_f)(state_f, batch, key, w, flag)
+    ss, ms = jax.jit(step_s)(state_s, batch, key, w, flag)
     for k in ("total", "sup", "unsup", "contrast"):
         np.testing.assert_allclose(float(mf[k]), float(ms[k]), rtol=1e-4,
                                    atol=1e-5)
+    # the updated states must match too (same wgrads, BN stats, EMA).
+    # rtol 1e-2: bf16 wgrad accumulation order differs between one fused
+    # reduction and two sequential ones — observed noise is O(1e-3) on a
+    # handful of elements, while any dropped-work bug shifts everything.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a, np.float32),
+                                                np.asarray(b, np.float32),
+                                                rtol=1e-2, atol=1e-4),
+        (sf.params, sf.batch_stats, sf.ema_params),
+        (ss.params, ss.batch_stats, ss.ema_params))
 
 
 def test_sliding_eval_matches_manual_accumulation():

@@ -5,8 +5,10 @@ Runs a few steps of a recipe under jax.profiler.trace, then parses the
 xplane protobuf with xprof's tool converters and prints the top-N HLO ops by
 self time — the ground truth for where the step time goes.
 
-Usage: python tools/profile_trace.py [mode] [out_dir] [recipe]
+Usage: python tools/profile_trace.py [mode] [out_dir] [recipe] [fused]
   mode:   negative_mode (default expected_pallas); recipe: voc|city
+  fused:  pass the literal word 'fused' to trace StepConfig.fused_forward
+          (the round-4 Cityscapes default — one batched l+u student pass)
   city = the Cityscapes baseline (769^2, b4, 19 classes, deep-stem,
   OHEM, full backbone remat — exactly bench.py's cityscapes_769 recipe)
 """
@@ -18,7 +20,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(mode="expected_pallas", out_dir="/tmp/css_trace", recipe="voc"):
+def capture(mode="expected_pallas", out_dir="/tmp/css_trace", recipe="voc",
+            fused=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,7 +63,8 @@ def capture(mode="expected_pallas", out_dir="/tmp/css_trace", recipe="voc"):
     cfg = StepConfig(num_classes=C, crop_hw=(CROP, CROP),
                      scale_range=scale, strategy="ori", sup_loss=sup_loss,
                      ohem_min_kept_per_image=50000,
-                     mix_mode="cutmix", negative_mode=mode)
+                     mix_mode="cutmix", negative_mode=mode,
+                     fused_forward=fused)
     step = jax.jit(make_train_step(model, tx, cfg, axis_name=None))
     for _ in range(3):
         state, m = step(state, batch, key, w, flag)
@@ -96,5 +100,6 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "expected_pallas"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/css_trace"
     recipe = sys.argv[3] if len(sys.argv) > 3 else "voc"
-    d = capture(mode, out, recipe)
+    fused = len(sys.argv) > 4 and sys.argv[4] == "fused"
+    d = capture(mode, out, recipe, fused)
     report(d)
