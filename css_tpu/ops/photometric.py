@@ -116,8 +116,12 @@ def pil_gaussian_blur(img, sigma):
     Matches ``PIL.ImageFilter.GaussianBlur(radius=sigma)``
     (reference usage: dataset_helpers/VOC.py:100-103): per-pass radius
     ``q = sigma^2/(6 - 2 sigma^2)`` so that three [q,1,q]/(2q+1) boxes carry
-    the requested total variance sigma^2.  Valid for sigma < sqrt(3/2)
-    (q < 1) — the reference draws sigma ~ U(0.15, 1.15), well inside.
+    the requested total variance sigma^2.  Valid for sigma < sqrt(2)
+    (q < 1; past sigma = sqrt(3) the denominator even turns the kernel
+    weights negative) — the reference draws sigma ~ U(0.15, 1.15), well
+    inside, and ``sigma`` is clamped to the valid range so out-of-range
+    callers get the strongest representable blur instead of a nonsense
+    kernel.
     Edge-clamp padding is applied per pass, exactly as PIL's box blur does
     (this differs near borders from clamping a single composed 7-tap
     kernel).  ``sigma`` is a traced scalar.
@@ -125,7 +129,8 @@ def pil_gaussian_blur(img, sigma):
     Cost: 6 passes x 3 taps = 18 shift-adds — the same as the previous
     radius-4 separable Gaussian (2 axes x 9 taps), with exact PIL fidelity.
     """
-    sig2 = jnp.square(jnp.maximum(sigma, 1e-4))
+    # clamp sigma^2 into (0, 2): the 3-pass law needs q < 1 (sigma < sqrt(2))
+    sig2 = jnp.clip(jnp.square(sigma), 1e-8, 2.0)
     q = sig2 / (6.0 - 2.0 * sig2)
     a = q / (2.0 * q + 1.0)
     b = 1.0 / (2.0 * q + 1.0)

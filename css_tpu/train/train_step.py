@@ -476,6 +476,14 @@ def make_sliding_eval_step(model, num_classes: int, canvas_hw, crop_hw,
     coverage count; argmax over the averaged map feeds the confusion matrix.
     Same signature as make_eval_step's step.
 
+    The window loop is a ``lax.scan`` over the (static) origin table, not a
+    Python unroll: window shapes are static, origins are traced scalars fed
+    to dynamic_slice/dynamic_update_slice, so ONE forward body is compiled
+    per canvas variant no matter how many windows tile it.  At the real
+    Cityscapes protocol (1024x2048, 769^2 windows, ms+flip) the unrolled
+    form is dozens of ResNet-101 forwards in a single graph — a compile-time
+    blow-up; the scan form keeps it at one body per (scale, flip) variant.
+
     ``flip``/``scales`` add the full ms+flip benchmark protocol: the whole
     canvas is rescaled (multiples of 8) and/or mirrored, windows slide over
     each variant, and the per-variant averaged probability maps are resized
@@ -493,26 +501,36 @@ def make_sliding_eval_step(model, num_classes: int, canvas_hw, crop_hw,
         ph, pw = max(h, ch), max(w, cw)
         if (ph, pw) != (h, w):
             image = jnp.pad(image, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-        acc = jnp.zeros((b, ph, pw, num_classes), jnp.float32)
-        cnt = jnp.zeros((ph, pw, 1), jnp.float32)
-        for oy in _tile_origins(ph, ch, sh):
-            for ox in _tile_origins(pw, cw, sw):
-                win = jax.lax.dynamic_slice(
-                    image, (0, oy, ox, 0), (b, ch, cw, image.shape[-1]))
-                pred, _ = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, win,
-                    train=False)
-                pred = bilinear_resize(pred, (ch, cw), align_corners=True)
-                prob = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
-                acc = jax.lax.dynamic_update_slice(
-                    acc,
-                    jax.lax.dynamic_slice(
-                        acc, (0, oy, ox, 0), (b, ch, cw, num_classes)) + prob,
-                    (0, oy, ox, 0))
-                cnt = jax.lax.dynamic_update_slice(
-                    cnt,
-                    jax.lax.dynamic_slice(cnt, (oy, ox, 0), (ch, cw, 1)) + 1.0,
-                    (oy, ox, 0))
+        origins = jnp.asarray(
+            [(oy, ox) for oy in _tile_origins(ph, ch, sh)
+             for ox in _tile_origins(pw, cw, sw)], jnp.int32)
+
+        def body(carry, o):
+            acc, cnt = carry
+            oy, ox = o[0], o[1]
+            win = jax.lax.dynamic_slice(
+                image, (0, oy, ox, 0), (b, ch, cw, image.shape[-1]))
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, win,
+                train=False)
+            pred = bilinear_resize(pred, (ch, cw), align_corners=True)
+            prob = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(
+                    acc, (0, oy, ox, 0), (b, ch, cw, num_classes)) + prob,
+                (0, oy, ox, 0))
+            cnt = jax.lax.dynamic_update_slice(
+                cnt,
+                jax.lax.dynamic_slice(cnt, (oy, ox, 0), (ch, cw, 1)) + 1.0,
+                (oy, ox, 0))
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((b, ph, pw, num_classes), jnp.float32),
+             jnp.zeros((ph, pw, 1), jnp.float32)),
+            origins)
         return (acc / jnp.maximum(cnt, 1.0))[:, :h, :w]
 
     def eval_step(params, batch_stats, conf_mat, image, label, valid):

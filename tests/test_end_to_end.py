@@ -112,6 +112,71 @@ def test_checkpoint_resume_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_elastic_resume_across_device_counts(tmp_path):
+    """TPU preemption/downsize scenario: checkpoint a run sharded over 8
+    devices, resume it on 4 and on 1 — the restored replicated state must be
+    bit-identical and the next step must execute and stay finite.  The
+    reference cannot do this at all: its torch.save dict is married to the
+    mp.spawn world size it was written under (ori_pseudo.py:103-111)."""
+    import jax
+    import jax.numpy as jnp
+
+    from css_tpu.models import build_model
+    from css_tpu.parallel import data_mesh, shard_batch, sharded_train_step
+    from css_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from css_tpu.train.state import create_train_state, make_optimizer
+    from css_tpu.train.train_step import StepConfig, make_train_step
+
+    C, crop = 6, 32
+
+    def build(ndev):
+        mesh = data_mesh(ndev)
+        model = build_model(num_classes=C, output_dim=16, backbone="tiny",
+                            axis_name="data")
+        tx = make_optimizer(1e-2, 5e-4, 100)
+        state = create_train_state(jax.random.key(0), model, tx,
+                                   (1, crop, crop, 3), num_classes=C,
+                                   output_dim=16)
+        cfg = StepConfig(num_classes=C, crop_hw=(crop, crop),
+                         scale_range=(0.5, 1.5), strategy="ori",
+                         num_queries=8, num_negatives=16)
+        step = sharded_train_step(make_train_step(model, tx, cfg, "data"), mesh)
+        return mesh, state, step
+
+    rng = np.random.default_rng(11)
+    batch = {
+        "l_image": rng.random((8, 40, 40, 3), dtype=np.float32),
+        "l_label": rng.integers(0, C, size=(8, 40, 40)).astype(np.int32),
+        "l_valid_hw": np.full((8, 2), 40, np.int32),
+        "u_image": rng.random((8, 40, 40, 3), dtype=np.float32),
+        "u_valid_hw": np.full((8, 2), 40, np.int32),
+    }
+
+    # train 2 steps on the full 8-device mesh, then checkpoint
+    mesh8, state, step8 = build(8)
+    for _ in range(2):
+        state, _ = step8(state, shard_batch(mesh8, batch),
+                         jax.random.key(1), jnp.float32(1.0),
+                         jnp.asarray(False))
+    path = str(tmp_path / "elastic_ck")
+    save_checkpoint(path, state, epoch=1, miou=0.25)
+    want = jax.device_get(state)
+
+    for ndev in (4, 1):
+        mesh_n, fresh, step_n = build(ndev)
+        restored, epoch, miou = restore_checkpoint(path, fresh)
+        assert epoch == 1 and abs(miou - 0.25) < 1e-6
+        # bit-identical state regardless of the mesh it resumes onto
+        for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        new_state, metrics = step_n(restored, shard_batch(mesh_n, batch),
+                                    jax.random.key(1), jnp.float32(1.0),
+                                    jnp.asarray(False))
+        assert int(new_state.step) == 3, ndev
+        assert np.isfinite(float(metrics["total"])), ndev
+
+
 def test_reference_yaml_schema_loads(tmp_path):
     """configs with the reference's !!python/tuple tags parse safely."""
     from css_tpu.config import load_config

@@ -200,9 +200,12 @@ def test_fused_grouped_bn_equals_two_pass():
 @pytest.mark.parametrize("features", [
     dict(strategy="mix"),
     # the Cityscapes feature set (remat'd deep-stem + OHEM) at test scale:
-    # fused_forward is that recipe's default after the round-4 on-chip A/B
-    # (9.4 -> 18.3 img/s at 769^2, metrics matched to rel 5e-5 at the real
-    # shape — tools/check_fused_city_semantics.py, docs/perf_round4.md)
+    # fused_forward is that recipe's shipped default as of round 5
+    # (CityScapes_config_baseline.yaml) — on-chip 3-step trajectory match
+    # at the real 769^2 shape, worst loss rel diff 4.7e-5
+    # (tools/check_fused_city_semantics.py, committed output in
+    # docs/runs/r5_fused_city_semantics.log; throughput A/B in
+    # docs/perf_round5.md)
     dict(strategy="ori", backbone="tiny_stem", remat=True, sup_loss="ohem",
          ohem_min_kept_per_image=64),
 ])
@@ -223,13 +226,19 @@ def test_fused_step_equals_unfused_metrics(features):
         np.testing.assert_allclose(float(mf[k]), float(ms[k]), rtol=1e-4,
                                    atol=1e-5)
     # the updated states must match too (same wgrads, BN stats, EMA).
-    # rtol 1e-2: bf16 wgrad accumulation order differs between one fused
-    # reduction and two sequential ones — observed noise is O(1e-3) on a
-    # handful of elements, while any dropped-work bug shifts everything.
+    # Tolerances are set AT the measured reduction-order noise floor of
+    # this graph, not at zero (tools/diag_fused_ohem.py, round 5): the SAME
+    # unfused step, jit vs eager — identical semantics, different XLA
+    # schedule — already drifts 2.8e-4 on ~190/1728 stem1-kernel elements
+    # after one SGD step (the deepest BN-chain-amplified wgrad), while
+    # fused-vs-unfused drifts 2.84e-4 on the same leaf; OHEM kept sets,
+    # kth thresholds (diff 3e-6), and losses (rel 5e-6) are identical.
+    # Any dropped-work bug shifts every leaf by O(gradient), not 17 stem
+    # elements by 3e-4, so atol 1e-3 still catches real divergence.
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a, np.float32),
                                                 np.asarray(b, np.float32),
-                                                rtol=1e-2, atol=1e-4),
+                                                rtol=1e-2, atol=1e-3),
         (sf.params, sf.batch_stats, sf.ema_params),
         (ss.params, ss.batch_stats, ss.ema_params))
 

@@ -27,11 +27,24 @@ repeats fast.
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 import bench  # noqa: E402
+
+# bench.main() normally wires the persistent XLA cache; calling
+# bench.bench_recipe directly must do the same or every 769^2 variant
+# recompiles >10 min cold
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("CSS_TPU_CACHE",
+                                     "/tmp/css_tpu_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 
 VARIANTS = {

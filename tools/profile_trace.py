@@ -8,7 +8,8 @@ self time — the ground truth for where the step time goes.
 Usage: python tools/profile_trace.py [mode] [out_dir] [recipe] [fused]
   mode:   negative_mode (default expected_pallas); recipe: voc|city
   fused:  pass the literal word 'fused' to trace StepConfig.fused_forward
-          (the round-4 Cityscapes default — one batched l+u student pass)
+          (the Cityscapes recipe default since round 5 — one batched l+u
+          student pass with per-half GroupedBatchNorm statistics)
   city = the Cityscapes baseline (769^2, b4, 19 classes, deep-stem,
   OHEM, full backbone remat — exactly bench.py's cityscapes_769 recipe)
 """
