@@ -81,8 +81,17 @@ WINDOWS = ((0, N_STEPS // 5), (N_STEPS // 5, N_STEPS // 2),
 #     hard-anchor pools are thin, per-image unsup weights sit between the
 #     0-loss escape paths (loss/loss.py:48-64,94-99) and full pass-through.
 REGIMES = {
-    "init": dict(un=0.02, weak=0.02, strong=0.97, sharpen=False),
-    "production": dict(un=0.97, weak=0.7, strong=0.8, sharpen=True),
+    "init": dict(un=0.02, weak=0.02, strong=0.97, sharpen=False,
+                 lr_scale=1.0),
+    # lr_scale 0.1: with the x16-sharpened head, loss gradients at the head
+    # scale with the sharpening, and at LR=0.01 the 50-step dynamics are
+    # chaotically marginal — torch survives its 10 seeds, ours NaN'd on
+    # seed 3 by step 2 (unsup CE ~29 once the 0.97 gate opens; diagnosed
+    # with /tmp-level per-step sweeps, round 5).  Scaling LR on BOTH sides
+    # keeps the production gates and their sparse-pool/escape-path behavior
+    # while restoring a stable, comparable trajectory.
+    "production": dict(un=0.97, weak=0.7, strong=0.8, sharpen=True,
+                       lr_scale=0.1),
 }
 UN_T, WEAK_T, STRONG_T = (REGIMES["init"][k] for k in ("un", "weak", "strong"))
 
@@ -181,9 +190,10 @@ def _ref_trajectory(ref, strategy, wrapper0, tensors, protos0, masks, seed,
     np.random.seed(2000 + seed)
     l_img, l_label_t, u_img = tensors
     protos_t = torch.from_numpy(protos0.copy())
-    optimizer = torch.optim.SGD(wrapper.model.parameters(), lr=LR,
+    lrs = regime.get("lr_scale", 1.0)
+    optimizer = torch.optim.SGD(wrapper.model.parameters(), lr=LR * lrs,
                                 weight_decay=WD, momentum=0.9, nesterov=True)
-    scheduler = ref["polylr"].PolyLR(optimizer, TOTAL_ITER, min_lr=1e-4)
+    scheduler = ref["polylr"].PolyLR(optimizer, TOTAL_ITER, min_lr=1e-4 * lrs)
     utils = ref["utils"]
     ce = torch.nn.CrossEntropyLoss(ignore_index=-1)
     unsup_crit = ref["loss"].Attention_Threshold_Loss(
@@ -278,8 +288,9 @@ def _build_ours(wrapper, strategy, regime=REGIMES["init"]):
     params, stats = convert_full_model(sd, model)
     params = jax.tree.map(lambda x: jnp.asarray(np.array(x, copy=True)), params)
     stats = jax.tree.map(lambda x: jnp.asarray(np.array(x, copy=True)), stats)
-    tx = make_optimizer(base_lr=LR, weight_decay=WD, total_steps=TOTAL_ITER,
-                        power=0.9, min_lr=1e-4)
+    lrs = regime.get("lr_scale", 1.0)
+    tx = make_optimizer(base_lr=LR * lrs, weight_decay=WD,
+                        total_steps=TOTAL_ITER, power=0.9, min_lr=1e-4 * lrs)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params, batch_stats=stats,

@@ -43,7 +43,7 @@ def _write_split(txt_dir, num_labels, names):
             f.write("\n".join(ids) + "\n")
 
 
-def make_voc_tree(root, n_l=64, n_u=128, n_val=2):
+def make_voc_tree(root, n_l=832, n_u=256, n_val=2):
     """Full-size VOC layout: JPEGImages/<id>.jpg (320..500 px sides, q95
     noise) + SegmentationClassAug/<id>.png."""
     from PIL import Image
@@ -74,7 +74,7 @@ def make_voc_tree(root, n_l=64, n_u=128, n_val=2):
     return root, os.path.join(root, "splits")
 
 
-def make_city_tree(root, n_l=32, n_u=48, n_val=2):
+def make_city_tree(root, n_l=120, n_u=48, n_val=2):
     """Full-size Cityscapes layout: leftImg8bit/train/benchcity/
     <id>_leftImg8bit.png at 1024x2048 (uint8 noise => ~6 MB PNGs, the
     decode-cost worst case) + gtFine trainIds."""
@@ -107,6 +107,46 @@ def make_city_tree(root, n_l=32, n_u=48, n_val=2):
     _write_split(os.path.join(root, "splits"), n_l, names)
     open(done, "w").write("ok\n")
     return root, os.path.join(root, "splits")
+
+
+def _host_pipeline_rate(cfg, num_labels, batch, n_batches):
+    """Images/sec of the host pipeline alone: the SAME BatchLoader pair the
+    train loop zips (labeled + unlabeled, decode -> canvas -> batch
+    assembly), iterated with no device in the loop.  This is the rate a
+    local TPU host's input pipeline would sustain — the tunnel H2D term
+    measured separately by _h2d_probe does not exist there."""
+    from css_tpu.data import (BatchLoader, build_dataset_specs,
+                              read_split_lists)
+
+    ds = cfg["Dataset"]
+    canvas = tuple(ds.get("canvas_size", ds["crop_size"]))
+    train_spec, _ = build_dataset_specs(
+        ds["name"], ds["data_dir"], canvas, cfg["Network"]["num_class"],
+        cache_dir=None)
+    labeled, unlabeled, _ = read_split_lists(ds["txt_dir"], num_labels,
+                                             cfg.get("Seed", 3407))
+    mk = lambda ids: BatchLoader(train_spec, ids, batch, seed=1,
+                                 shuffle=True, drop_last=True)
+    l_loader, u_loader = mk(labeled), mk(unlabeled)
+    li, ui = iter(l_loader), iter(u_loader)
+    # warm one batch from each (thread pools spin up), then time
+    next(li), next(ui)
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(n_batches - 1):
+        try:
+            next(li)
+        except StopIteration:
+            li = iter(l_loader)
+            next(li)
+        try:
+            next(ui)
+        except StopIteration:
+            ui = iter(u_loader)
+            next(ui)
+        done += 1
+    dt = time.perf_counter() - t0
+    return 2 * batch * done / dt if dt > 0 else float("inf")
 
 
 def _h2d_probe(batch_bytes, shape, n=8):
@@ -145,19 +185,19 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.recipe == "voc":
         cfg_path = os.path.join(repo, "css_tpu/config/VOC_config_baseline.yaml")
-        root = args.tree_root or "/tmp/css_driver_voc"
+        root = args.tree_root or "/tmp/css_driver_voc832"
         data_dir, txt_dir = make_voc_tree(root)
-        num_labels, batch = 64, 8
-        canvas = (8, 512, 512, 3)
-        bench_ref = 55.66  # BENCH_r04 voc_sampled_pallas
+        num_labels, batch = 832, 8  # 104 steps/epoch: one epoch covers the
+        canvas = (8, 512, 512, 3)   # whole measurement, no eval in the window
+        bench_ref = 55.22  # BENCH_r05 voc_sampled_pallas
     else:
         cfg_path = os.path.join(
             repo, "css_tpu/config/CityScapes_config_baseline.yaml")
-        root = args.tree_root or "/tmp/css_driver_city"
+        root = args.tree_root or "/tmp/css_driver_city120"
         data_dir, txt_dir = make_city_tree(root)
-        num_labels, batch = 32, 4
+        num_labels, batch = 120, 4  # 30 steps/epoch
         canvas = (4, 1024, 2048, 3)
-        bench_ref = None  # filled from BENCH_r05 when it lands
+        bench_ref = 18.26  # BENCH_r05 cityscapes_769 (fused)
 
     cfg = yaml.safe_load(open(cfg_path))
     cfg["Dataset"].update({"data_dir": data_dir, "txt_dir": txt_dir,
@@ -175,7 +215,10 @@ def main():
     yaml.safe_dump(cfg, open(run_cfg, "w"))
 
     ns = argparse.Namespace(
-        config=run_cfg, resume="", num_labels=num_labels, total_iter=8,
+        # total_iter must COVER max_steps: epochs = total_iter//steps_per_epoch
+        # (the first cut's total_iter=8 silently capped the run at one epoch)
+        config=run_cfg, resume="", num_labels=num_labels,
+        total_iter=4 * args.max_steps,
         job_name=f"driverbench_{args.recipe}", strong_threshold=None,
         weak_threshold=None, un_threshold=None, temp=None, sche=True,
         data_dir=None, txt_dir=None, synthetic=False, num_devices=1,
@@ -183,6 +226,8 @@ def main():
     )
 
     probe_ms = _h2d_probe(np.prod(canvas), canvas)
+    host_img_s = _host_pipeline_rate(cfg, num_labels, batch,
+                                     min(args.max_steps, 40))
 
     from css_tpu.cli.train_main import run_training
 
@@ -196,6 +241,9 @@ def main():
         "steps_per_sec": round(sps, 4),
         "img_per_s": round(2 * batch * sps, 2),
         "bench_device_resident_img_per_s": bench_ref,
+        # host pipeline alone (decode -> aug canvas -> batch assembly), no
+        # device: the tunnel-free number a local TPU host would see
+        "host_pipeline_img_per_s": round(host_img_s, 2),
         "h2d_probe_ms": round(probe_ms, 1),
         "wall_s": round(wall, 1),
     }
