@@ -80,29 +80,39 @@ def make_city_tree(root, n_l=120, n_u=48, n_val=2):
     decode-cost worst case) + gtFine trainIds."""
     from PIL import Image
 
-    done = os.path.join(root, ".complete")
+    # v2: valid-split samples live under leftImg8bit/val (the Cityscapes
+    # spec resolves them with mode="val"; the v1 tree put them in train/
+    # and the first eval crashed FileNotFoundError).  Existing files from
+    # a v1 tree are kept — only missing ones are (re)generated.
+    done = os.path.join(root, ".complete_v2")
     if os.path.exists(done):
         return root, os.path.join(root, "splits")
     rng = np.random.default_rng(0)
-    for mode in ("train",):
+    for mode in ("train", "val"):
         os.makedirs(os.path.join(root, "leftImg8bit", mode, "benchcity"),
                     exist_ok=True)
         os.makedirs(os.path.join(root, "gtFine", mode, "benchcity"),
                     exist_ok=True)
     names = {"labeled": [], "unlabeled": [], "valid": []}
     for kind, n in (("labeled", n_l), ("unlabeled", n_u), ("valid", n_val)):
+        mode = "val" if kind == "valid" else "train"
         for i in range(n):
             base = f"benchcity_{kind}_{i:04d}"
             sid = f"{base}_leftImg8bit"
-            img = rng.integers(0, 256, size=(1024, 2048, 3), dtype=np.uint8)
-            Image.fromarray(img).save(os.path.join(
-                root, "leftImg8bit", "train", "benchcity", f"{sid}.png"))
+            img_path = os.path.join(
+                root, "leftImg8bit", mode, "benchcity", f"{sid}.png")
+            if not os.path.exists(img_path):
+                img = rng.integers(0, 256, size=(1024, 2048, 3),
+                                   dtype=np.uint8)
+                Image.fromarray(img).save(img_path)
             if kind != "unlabeled":
-                lab = rng.integers(0, 19, size=(1024, 2048)).astype(np.uint8)
-                lab[:4] = 255
-                Image.fromarray(lab, "L").save(os.path.join(
-                    root, "gtFine", "train", "benchcity",
-                    f"{base}_gtFine_trainIds.png"))
+                lab_path = os.path.join(root, "gtFine", mode, "benchcity",
+                                        f"{base}_gtFine_trainIds.png")
+                if not os.path.exists(lab_path):
+                    lab = rng.integers(0, 19, size=(1024, 2048)).astype(
+                        np.uint8)
+                    lab[:4] = 255
+                    Image.fromarray(lab, "L").save(lab_path)
             names[kind].append(sid)
     _write_split(os.path.join(root, "splits"), n_l, names)
     open(done, "w").write("ok\n")
