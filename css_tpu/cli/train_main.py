@@ -159,6 +159,9 @@ def _build_state_and_steps(cfg, args, strategy, mesh):
         # GroupedBatchNorm keeps exact per-half BN semantics inside the
         # fused batch; off by default (see train_step.py StepConfig)
         fused_forward=bool(cfg.get("Training_Setting.fused_forward", False)),
+        # opt-in bit-faithful uint8 PIL round trip at every aug hop
+        # (parity studies; float aug is strictly more precise)
+        aug_quantize=bool(cfg.get("Training_Setting.aug_quantize", False)),
     )
     train_step = sharded_train_step(make_train_step(model, tx, step_cfg, DATA_AXIS), mesh)
     eval_step = sharded_eval_step(make_eval_step(model, num_classes, DATA_AXIS), mesh)

@@ -50,7 +50,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from css_tpu.ops.photometric import random_photometric
+from css_tpu.ops.photometric import q8_entry_image, q8_floor, random_photometric
 
 __all__ = ["apply_geometric", "geometric_transform", "batch_transform",
            "normalize_imagenet", "denormalize_imagenet", "to_channel_first",
@@ -129,6 +129,38 @@ def _axis_maps(u_off, out_size: int, in_size: int, valid, ratio, crop):
     return mat, near, oob
 
 
+_PB = 22  # PIL resample.c PRECISION_BITS for 8-bit channels
+
+
+def _fixed_point_resample(img255, mat_x, mat_y):
+    """PIL's 8bpc fixed-point resample, bit-faithful: horizontal pass first
+    (as ImagingResampleInner orders them), coefficients
+    ``k = floor(w * 2^22 + 0.5)`` (normalize_coeffs_8bpc; weights are >= 0
+    so half-away == half-up), accumulator seeded with 2^21, ``>> 22``,
+    clip8 — each pass emits a uint8 image (verified exact vs PIL.resize on
+    1-D probes at up/down/identity ratios).
+
+    2^22-scale products overflow f32's 24-bit exact-integer range, so each
+    coefficient matrix is split ``k = k_hi * 2^11 + k_lo`` and contracted
+    twice; both partial sums stay < 2^24 (exact on the MXU's f32
+    accumulation) and recombine in int32.  Residual vs PIL: our triangle
+    weights are computed in f32 in-jit vs PIL's doubles, so ``k`` can sit
+    one unit off PIL's at rounding boundaries — measured rare 1/255
+    differences, calibrated in the differential suite."""
+    def one_pass(mat, img, spec):
+        k = jnp.floor(mat * float(1 << _PB) + 0.5)
+        k_hi = jnp.floor(k / 2048.0)
+        k_lo = k - k_hi * 2048.0
+        s_hi = jnp.einsum(spec, k_hi, img, preferred_element_type=jnp.float32)
+        s_lo = jnp.einsum(spec, k_lo, img, preferred_element_type=jnp.float32)
+        s = s_hi.astype(jnp.int32) * 2048 + s_lo.astype(jnp.int32)
+        out = (s + (1 << (_PB - 1))) // (1 << _PB)
+        return jnp.clip(out, 0, 255).astype(jnp.float32)
+
+    rows = one_pass(mat_x, img255, "pw,chw->chp")      # [3, H, cw]
+    return one_pass(mat_y, rows, "oh,chp->cop")        # [3, ch, cw]
+
+
 def apply_geometric(
     image: jax.Array,          # [3, H, W] float in [0,1]
     labels: jax.Array,         # [K, H, W] int32 (-1 = ignore)
@@ -138,15 +170,27 @@ def apply_geometric(
     ratio: jax.Array,          # scalar scale ratio
     u_y: jax.Array,            # uniform [0,1) crop-offset draws per axis
     u_x: jax.Array,
+    quantize: bool = False,
 ):
     """Deterministic scale->pad(reflect)->crop given explicit parameters.
 
     Factored out of :func:`geometric_transform` so the differential fidelity
     suite can force the exact (ratio, crop offset) drawn by the reference's
     ``transform`` (VOC.py:64-92) and compare outputs pixel-for-pixel.
+
+    ``quantize=True`` reproduces the reference's uint8 round trip: the
+    ``tensor_to_pil*`` entry hop truncates images AND confidence maps to the
+    uint8 grid (VOC.py:276-293 — so even the teacher's softmax confidences
+    are 1/255-quantized before every threshold comparison), and PIL's
+    BILINEAR resize rounds its output back to uint8.  Labels ride nearest
+    sampling and are unaffected; nearest-sampled confidences stay on-grid
+    by construction.
     """
     ch, cw = crop_hw
     h, w = image.shape[1], image.shape[2]
+    if quantize:
+        image = q8_entry_image(image)   # normalize/denormalize round trip
+        confs = q8_floor(confs)         # logits hop: plain truncation
     mat_y, ynear, y_oob = _axis_maps(u_y, ch, h, valid_hw[0], ratio, ch)
     mat_x, xnear, x_oob = _axis_maps(u_x, cw, w, valid_hw[1], ratio, cw)
 
@@ -156,12 +200,16 @@ def apply_geometric(
     # 2-tap bilinear.  bf16 operands with f32 accumulation — at least the
     # precision of the reference's uint8 PIL pipeline, and orders of
     # magnitude faster than per-pixel gathers on TPU.
-    img_b = image.astype(jnp.bfloat16)
-    rows = jnp.einsum("oh,chw->cow", mat_y.astype(jnp.bfloat16), img_b,
-                      preferred_element_type=jnp.float32)        # [3, ch, W]
-    out_img = jnp.einsum("pw,cow->cop", mat_x.astype(jnp.bfloat16),
-                         rows.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)     # [3, ch, cw]
+    if quantize:
+        out_img = _fixed_point_resample(
+            jnp.floor(image * 255.0 + 0.5), mat_x, mat_y) / 255.0
+    else:
+        img_b = image.astype(jnp.bfloat16)
+        rows = jnp.einsum("oh,chw->cow", mat_y.astype(jnp.bfloat16), img_b,
+                          preferred_element_type=jnp.float32)    # [3, ch, W]
+        out_img = jnp.einsum("pw,cow->cop", mat_x.astype(jnp.bfloat16),
+                             rows.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)  # [3, ch, cw]
 
     # Nearest resampling for labels/confidences via exact one-hot selection
     # matmuls (f32: a single 1.0 per row selects exactly, so integer labels
@@ -191,6 +239,7 @@ def geometric_transform(
     crop_hw: Tuple[int, int],
     scale_range: Tuple[float, float],
     augmentation: bool,
+    quantize: bool = False,
 ):
     """One image through scale->pad->crop->(photo, flip); channel-first."""
     k_scale, k_i, k_j, k_photo, k_flip = jax.random.split(rng, 5)
@@ -198,10 +247,11 @@ def geometric_transform(
     out_img, out_labels, out_confs = apply_geometric(
         image, labels, confs, valid_hw, crop_hw, ratio,
         jax.random.uniform(k_i), jax.random.uniform(k_j),
+        quantize=quantize,
     )
 
     if augmentation:
-        out_img = random_photometric(k_photo, out_img)
+        out_img = random_photometric(k_photo, out_img, quantize=quantize)
         do_flip = jax.random.uniform(k_flip) > 0.5
         out_img = jnp.where(do_flip, out_img[:, :, ::-1], out_img)
         out_labels = jnp.where(do_flip, out_labels[:, :, ::-1], out_labels)
@@ -212,7 +262,7 @@ def geometric_transform(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("crop_hw", "scale_range", "augmentation"),
+    static_argnames=("crop_hw", "scale_range", "augmentation", "quantize"),
 )
 def batch_transform(
     rng: jax.Array,
@@ -223,11 +273,14 @@ def batch_transform(
     crop_hw: Tuple[int, int],
     scale_range: Tuple[float, float],
     augmentation: bool,
+    quantize: bool = False,
 ):
     """Vmapped batch version of :func:`geometric_transform`.
 
     Mirrors ``batch_transform``/``_2``/``_3`` (VOC.py:312-352): pass K=1/1/2
-    label maps and L=1/2/2 confidence maps.
+    label maps and L=1/2/2 confidence maps.  ``quantize=True`` adds the
+    reference's uint8 round-trip law at every PIL hop (opt-in fidelity mode;
+    see :func:`apply_geometric`).
     """
     keys = jax.random.split(rng, images.shape[0])
     fn = functools.partial(
@@ -235,5 +288,6 @@ def batch_transform(
         crop_hw=crop_hw,
         scale_range=scale_range,
         augmentation=augmentation,
+        quantize=quantize,
     )
     return jax.vmap(fn)(keys, images, labels, confs, valid_hw)

@@ -78,6 +78,11 @@ class StepConfig:
     ema_alpha: float = 0.99
     contrast_enabled: bool = True             # Loss.is_available in the YAML
     negative_mode: str = "sampled_pallas"     # see losses/contrastive.py modes
+    aug_quantize: bool = False                # reproduce the reference's uint8
+    # PIL round trip at every aug hop (entry truncation of images AND teacher
+    # confidences, uint8 rounding after resize / each jitter op / each blur
+    # pass — VOC.py:276-293).  Off by default: float aug is strictly more
+    # precise; enable for bit-faithful parity studies (PARITY.md).
     fused_forward: bool = False               # one batched pass over l+u
     # (semantics-exact when enabled: GroupedBatchNorm keeps per-half BN
     # statistics and the reference's sequential running-stat update order
@@ -195,6 +200,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
         img01, labels, confs = batch_transform(
             jax.random.fold_in(k_t, 1), u_img01, labels, confs, full_hw,
             crop_hw=(ch, cw), scale_range=cfg.scale_range, augmentation=False,
+            quantize=cfg.aug_quantize,
         )
         # cross-replica mixing (ddp_model.py:46-50)
         img01, labels, confs = mix_batch(
@@ -205,6 +211,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
         img01, labels, confs = batch_transform(
             k_aug2, img01, labels, confs, full_hw,
             crop_hw=(ch, cw), scale_range=(1.0, 1.0), augmentation=True,
+            quantize=cfg.aug_quantize,
         )
         out = to_channel_last(normalize_imagenet(img01, channel_axis=-3))
         return out, labels, confs, ema_stats
@@ -233,7 +240,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
             k_laug, l_canvas, l_lab_canvas[:, None],
             jnp.zeros((bl, 1, lh, lw), jnp.float32),
             batch["l_valid_hw"], crop_hw=(ch, cw), scale_range=cfg.scale_range,
-            augmentation=True,
+            augmentation=True, quantize=cfg.aug_quantize,
         )
         l_img = to_channel_last(normalize_imagenet(l_img01, channel_axis=-3))
         l_label = l_labels[:, 0]
@@ -246,7 +253,7 @@ def make_train_step(model, tx, cfg: StepConfig, axis_name: Optional[str] = None)
             jnp.zeros((bu, 1, uh, uw), jnp.int32),
             jnp.zeros((bu, 1, uh, uw), jnp.float32),
             batch["u_valid_hw"], crop_hw=(ch, cw), scale_range=(1.0, 1.0),
-            augmentation=False,
+            augmentation=False, quantize=cfg.aug_quantize,
         )
 
         u_img, u_labels, u_confs, ema_stats = pseudo_label_phase(

@@ -109,3 +109,36 @@ def test_normalize_round_trip():
     back = np.asarray(denormalize_imagenet(
         normalize_imagenet(jnp.asarray(cf), channel_axis=-3), channel_axis=-3))
     np.testing.assert_allclose(back, cf, atol=1e-5)
+
+
+def test_quantized_batch_transform_stays_on_uint8_grid():
+    """aug_quantize mode: every emitted image pixel must sit on the k/255
+    grid (each hop of the reference's PIL chain emits a uint8 image), with
+    the full photometric block live; labels/confs keep their semantics."""
+    from css_tpu.ops.augment import batch_transform
+
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 40, 48
+    images = jnp.asarray(
+        rng.integers(0, 256, size=(b, 3, h, w)).astype(np.float32) / 255.0)
+    labels = jnp.asarray(rng.integers(-1, 21, size=(b, 1, h, w)).astype(np.int32))
+    confs = jnp.asarray(rng.random((b, 2, h, w)).astype(np.float32))
+    valid = jnp.asarray(np.tile([h, w], (b, 1)).astype(np.int32))
+
+    out_img, out_lab, out_conf = batch_transform(
+        jax.random.key(3), images, labels, confs, valid,
+        crop_hw=(32, 32), scale_range=(0.7, 1.3), augmentation=True,
+        quantize=True)
+
+    scaled = np.asarray(out_img) * 255.0
+    np.testing.assert_allclose(scaled, np.round(scaled), atol=1e-3)
+    assert np.asarray(out_lab).min() >= -1 and np.asarray(out_lab).max() < 21
+    # confidences were truncated to the uint8 grid at entry
+    cs = np.asarray(out_conf) * 255.0
+    np.testing.assert_allclose(cs, np.round(cs), atol=1e-3)
+    # and quantize=False on the same inputs differs at most by quantization
+    f_img, _, _ = batch_transform(
+        jax.random.key(3), images, labels, confs, valid,
+        crop_hw=(32, 32), scale_range=(0.7, 1.3), augmentation=True,
+        quantize=False)
+    assert np.abs(np.asarray(f_img) - np.asarray(out_img)).max() < 0.08

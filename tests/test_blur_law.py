@@ -85,3 +85,19 @@ def test_blur_variance_law():
         row = out.sum(axis=0)  # marginal over y -> horizontal kernel
         var = (row * xs ** 2).sum() / row.sum()
         np.testing.assert_allclose(var, sigma ** 2, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sigma", SIGMAS)
+def test_blur_quantized_matches_pil(sigma):
+    """quantize=True runs the bit-faithful integer emulation of PIL's box
+    machinery (_pil_gaussian_blur_q8): pixel-exact up to the in-jit f32
+    coefficient-rounding residual (~1e-4 of pixels, one uint8 step)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    ref = _pil_blur_rgb(img, sigma).transpose(2, 0, 1)
+    ours = np.asarray(
+        pil_gaussian_blur(jnp.asarray(img.transpose(2, 0, 1).astype(np.float32) / 255.0),
+                          jnp.float32(sigma), quantize=True))
+    err = np.abs(ref - ours)
+    assert err.max() <= 1.0 / 255.0 + 1e-6, (sigma, err.max() * 255.0)
+    assert np.mean(err < 1e-6) > 0.995, (sigma, np.mean(err < 1e-6))

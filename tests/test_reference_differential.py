@@ -914,3 +914,131 @@ def test_model_ori_pseudo_forward_matches_reference(ref):
         np.asarray(bilinear_resize(pred_l_s, (hw, hw),
                                    align_corners=True)).transpose(0, 3, 1, 2),
         pred_l_large_r.numpy(), atol=3e-3, rtol=1e-2)
+
+
+# --------------------------------------------------------------------------
+# the reference's uint8 quantization law (quantize=True parity mode)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ratio,canvas,crop", [
+    (1.3377, (97, 123), (64, 64)),    # upscale
+    (1.0, (97, 123), (64, 64)),       # identity scale
+    (0.6123, (97, 123), (48, 48)),    # antialiased downscale
+    (0.8321, (45, 60), (64, 64)),     # downscale + reflect/ignore pad
+    (0.5, (120, 150), (48, 48)),      # 2x antialiased downscale
+])
+def test_transform_quantized_uint8_law(ref, ratio, canvas, crop):
+    """quantize=True vs the reference's TENSOR entry (``batch_transform`` ->
+    ``tensor_to_pil`` -> PIL), i.e. with the uint8 round trip live: the
+    entry truncation (``mul(255).byte()``) of image and confidence map and
+    PIL's fixed-point resample rounding.
+
+    Image: our in-jit f32 triangle weights can land one 2^-22 coefficient
+    step off PIL's doubles at rounding boundaries -> rare 1/255 pixels
+    (measured <=2.4% of pixels at the worst ratio, max exactly 1/255).
+    Confidences/labels: bit-exact up to the nearest-neighbour boundary-tie
+    lines the float-mode test already bounds."""
+    from css_tpu.ops.augment import apply_geometric
+
+    h0, w0 = canvas
+    ch, cw = crop
+    rng = np.random.default_rng(7)
+    # uint8-born image (decoders emit on-grid pixels -> entry truncation is
+    # lossless, as for the reference's uint8 tensors); teacher-like confs
+    # genuinely off-grid, kept out of the 2^-12 truncation-epsilon window
+    # (q8_floor docstring) which synthetic random floats would hit ~2^-12
+    # of the time
+    img01 = (rng.integers(0, 256, size=(h0, w0, 3)).astype(np.float32) / 255.0)
+    lab = rng.integers(0, 21, size=(h0, w0)).astype(np.int64)
+    conf = ((rng.integers(0, 255, size=(h0, w0)) +
+             rng.uniform(0.1, 0.9, size=(h0, w0))) / 255.0).astype(np.float32)
+
+    rh, rw = int(h0 * ratio), int(w0 * ratio)
+    ph, pw = max(rh, ch), max(rw, cw)
+    i = int(rng.integers(0, ph - ch + 1))
+    j = int(rng.integers(0, pw - cw + 1))
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    img_norm = torch.from_numpy(
+        ((img01 - mean) / std).transpose(2, 0, 1)).float()
+
+    import torchvision.transforms as tvt
+
+    orig_get = tvt.RandomCrop.get_params
+    tvt.RandomCrop.get_params = staticmethod(
+        lambda im, output_size: (i, j, ch, cw))
+    try:
+        ref_img, ref_lab, ref_conf = ref["voc"].batch_transform(
+            img_norm[None], torch.from_numpy(lab)[None],
+            torch.from_numpy(conf)[None], crop_size=(ch, cw),
+            scale_size=(ratio, ratio), augmentation=False)
+    finally:
+        tvt.RandomCrop.get_params = orig_get
+    ref_img01 = ref["voc"].denormalise(ref_img[0]).numpy()
+
+    out_img, out_lab, out_conf = apply_geometric(
+        jnp.asarray(img01.transpose(2, 0, 1)),
+        jnp.asarray(lab.astype(np.int32)[None]),
+        jnp.asarray(conf[None]),
+        jnp.asarray([h0, w0], jnp.int32), (ch, cw),
+        jnp.float32(ratio),
+        jnp.float32((i + 0.5) / (ph - ch + 1)),
+        jnp.float32((j + 0.5) / (pw - cw + 1)),
+        quantize=True,
+    )
+
+    img_err = np.abs(ref_img01 - np.asarray(out_img))
+    assert img_err.max() <= 1.0 / 255.0 + 1e-6, img_err.max() * 255
+    assert np.mean(img_err < 1e-6) > 0.97, np.mean(img_err < 1e-6)
+
+    # conf and labels: identical values except whole boundary-tie lines
+    for want, got in ((ref_lab.numpy()[0], np.asarray(out_lab[0])),
+                      (ref_conf.numpy()[0], np.asarray(out_conf[0]))):
+        mism = np.abs(np.asarray(want, np.float64) -
+                      np.asarray(got, np.float64)) > 1e-6
+        rows = np.unique(np.nonzero(mism)[0])
+        cols = np.unique(np.nonzero(mism)[1])
+        assert min(len(rows), len(cols)) <= 2, (len(rows), len(cols))
+
+
+@pytest.mark.parametrize("op,factor", [
+    ("brightness", 0.77), ("brightness", 1.21),
+    ("contrast", 0.8), ("contrast", 1.18),
+    ("saturation", 0.76), ("saturation", 1.22),
+    ("hue", -0.22), ("hue", 0.19), ("hue", 0.25), ("hue", -0.25),
+])
+def test_quantized_jitter_ops_vs_pil(ref, op, factor):
+    """The quantize-mode jitter sub-ops vs PIL's own chain, on the 0..255
+    grid: brightness/contrast/saturation are BIT-EXACT (Blend.c truncation,
+    fixed-point 'L', ImageStat rounding all reproduced); hue is exact on
+    >99.5% of pixels (PIL's C float hue drifts one H step on ~0.3% — see
+    _pil_hue_shift255) with error bounded by one hue step's RGB effect."""
+    from PIL import Image
+
+    import torchvision.transforms.functional as tvf
+
+    from css_tpu.ops.photometric import (_pil_hue_shift255, _q8_brightness255,
+                                         _q8_contrast255, _q8_saturation255)
+
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    pil = Image.fromarray(img_u8, "RGB")
+    k = jnp.asarray(img_u8.transpose(2, 0, 1).astype(np.float32))
+
+    fn = {"brightness": tvf.adjust_brightness,
+          "contrast": tvf.adjust_contrast,
+          "saturation": tvf.adjust_saturation,
+          "hue": tvf.adjust_hue}[op]
+    want = np.asarray(fn(pil, factor), np.int32)
+
+    ours = {"brightness": _q8_brightness255, "contrast": _q8_contrast255,
+            "saturation": _q8_saturation255, "hue": _pil_hue_shift255}[op]
+    got = np.asarray(ours(k, jnp.float32(factor))).transpose(1, 2, 0)
+
+    err = np.abs(want - got)
+    if op == "hue":
+        assert np.mean(err == 0) > 0.995, np.mean(err == 0)
+        assert err.max() <= 8, err.max()
+    else:
+        assert err.max() == 0, (op, factor, err.max(), (err > 0).sum())
