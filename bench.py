@@ -151,11 +151,15 @@ def main():
          dict(backbone="resnet101", crop=512, batch=8, sup_loss="ce",
               negative_mode="expected_pallas", remat=False)),
         ("cityscapes_769",
-         # fused_forward matches the shipped Cityscapes recipe default as of
-         # round 5 (semantics-exact per-half BN via GroupedBatchNorm; on-chip
-         # A/B + trajectory match in docs/runs/, docs/perf_round5.md)
+         # fused_forward + remat=False match the shipped Cityscapes recipe
+         # defaults as of round 5 (semantics-exact per-half BN via
+         # GroupedBatchNorm; on-chip A/B + trajectory match in docs/runs/,
+         # docs/perf_round5.md).  The fused graph holds one activation set,
+         # so 769^2 b4+4 fits 16 GB unremat'd: remat A/B none 19.94 /
+         # layer3 19.11 / save_mid 18.12 / full 18.28 img/s
+         # (docs/runs/r5_city_remat_fused.log)
          dict(backbone="resnet101_stem", crop=769, batch=4, sup_loss="ohem",
-              negative_mode="sampled_pallas", remat=True, num_classes=19,
+              negative_mode="sampled_pallas", remat=False, num_classes=19,
               cfg_overrides={"fused_forward": True})),
     ):
         if time.perf_counter() - t_start > EXTRA_BUDGET_S:
